@@ -1,0 +1,58 @@
+"""Crawl configuration — the Spark analog of roddy's ``Collector`` options.
+
+Reference: collector.go:17-111 (maxDepth/maxRequests/maxResponses/maxPageNum,
+domain & URL filters, delays, parallelism, allowURLRevisit). Politeness is
+upgraded from roddy's global delay (roddy.go:683-690) to a per-host budget per
+micro-batch (the colly LimitRule ancestor roddy stubs out, collector.go:104),
+per the north rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Immutable crawl parameters; one instance drives one BFS crawl.
+
+    Semantics preserved from the reference (SURVEY.md §1.3):
+      * seeds enter at depth 1; children at parent depth + 1 (request.go:94-96)
+      * a request is rejected iff ``max_depth > 0 and depth > max_depth``
+        (roddy.go:251-253) — so ``max_depth=2`` fetches depths 1 and 2
+      * filter order: depth → request budget → disallowed URL regexes →
+        allowed URL regexes → domain deny → domain allow → visited
+        (roddy.go:250-268, 270-290)
+      * domain match is exact hostname equality; empty allowlist allows all
+        (roddy.go:312-330)
+      * visited is marked at admission, before fetch (roddy.go:292-310)
+    """
+
+    max_depth: int = 0                 # 0 = unlimited (roddy MaxDepth)
+    max_requests: int = 0              # 0 = unlimited admitted-request budget
+    max_responses: int = 0             # 0 = unlimited successful fetches
+    allowed_domains: tuple[str, ...] = ()
+    disallowed_domains: tuple[str, ...] = ()
+    url_filters: tuple[str, ...] = ()            # allow regexes (F5)
+    disallowed_url_filters: tuple[str, ...] = () # deny regexes, checked first (F4)
+    allow_url_revisit: bool = False    # F9: bypass the visited anti-join
+    per_host_budget: int = 0           # 0 = unlimited; else fetches/host/level (D5/D6)
+    respect_robots: bool = False       # north-rule addition (not in reference engine)
+    user_agent: str = "roddy-spark/0.1"
+    # scale knobs
+    salt_buckets: int = 8              # skew salt for repartition-by-host (D6)
+    bloom_capacity: int = 1 << 20      # expected visited-set size for the bloom prefilter
+    bloom_fpp: float = 0.01
+    shuffle_partitions: int | None = None  # override spark.sql.shuffle.partitions per crawl
+    extra: dict = field(default_factory=dict, hash=False, compare=False)
+
+    def __post_init__(self) -> None:
+        for name in ("max_depth", "max_requests", "max_responses", "per_host_budget"):
+            if getattr(self, name) < 0:
+                raise ValueError(f"{name} must be >= 0 (0 means unlimited)")
+        # tuples keep the config hashable/broadcastable
+        for name in ("allowed_domains", "disallowed_domains", "url_filters",
+                     "disallowed_url_filters"):
+            v = getattr(self, name)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, name, tuple(v))

@@ -1,0 +1,312 @@
+"""Pure-Python URL kernel shared by the Spark UDFs and the reference oracle.
+
+Reimplements (from public WHATWG/RFC 3986 semantics, studied — not copied —
+from the reference):
+  * canonicalize_url  — reference ``ParseUrl``/``normalizeURL``
+    (request.go:127-139, util.go:47-54): WHATWG-style parse + re-serialize,
+    fixing the ``http://example.com`` vs ``http://example.com/`` ambiguity,
+    percent-encoding stray ``%`` signs (the reference enables
+    ``WithPercentEncodeSinglePercentSign()``, request.go:45), stripping ASCII
+    tab/newline anywhere and C0-control/space at the ends (WHATWG URL §4.2).
+    Fragments are KEPT in the normalized form (reference uses ``Href(false)``).
+  * resolve_url       — reference ``Request.AbsoluteURL`` (request.go:61-79):
+    resolve a possibly-relative href against a base URL; pure-fragment links
+    (``#...``) are dropped *before* resolution (request.go:62-64).
+  * xxhash64          — bit-exact pure-Python XXH64 (public algorithm,
+    Yann Collet, BSD) with Spark's seed 42, so the oracle's visited-set keys
+    equal Spark's ``F.xxhash64(col)``. The reference uses FNV-1a 64
+    (util.go:56-67); the north rule mandates xxhash64 — set-equivalence holds
+    because both hash the same canonical string 1:1.
+
+Everything here is dependency-free stdlib so it runs inside executor-side
+pandas UDFs and in the driver-side oracle with identical results.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+# ---------------------------------------------------------------------------
+# XXH64 (pure python, bit-exact vs Spark's XxHash64 expression, seed 42)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _M64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return ((acc * _P1) + _P4) & _M64
+
+
+def xxhash64(data: bytes | str, seed: int = 42) -> int:
+    """XXH64 of ``data`` as a *signed* 64-bit int, matching Spark's
+    ``F.xxhash64`` (which hashes the UTF-8 bytes with default seed 42)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    seed &= _M64
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    # Spark returns LongType (signed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443",
+                  "ftp": "21"}
+_HEX = "0123456789ABCDEF"
+_HEXDIGITS = set("0123456789abcdefABCDEF")
+# RFC 3986 unreserved characters — safe to percent-DEcode
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+# characters we leave literal in each component (everything else gets encoded)
+_PATH_SAFE = _UNRESERVED | set("!$&'()*+,;=:@/%")
+_QUERY_SAFE = _PATH_SAFE | set("?")
+_FRAG_SAFE = _QUERY_SAFE | set("#")  # '#' can't actually appear but be lenient
+
+
+def _pct_normalize(s: str, safe: set) -> str:
+    """Normalize percent-encoding in one URL component:
+    decode unreserved %XX, uppercase kept %XX, encode stray '%' (not followed
+    by two hex digits) as %25, and encode characters outside ``safe``."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            if i + 2 < n:
+                h1, h2 = s[i + 1], s[i + 2]
+            elif i + 2 == n:
+                h1, h2 = s[i + 1], ""
+            else:
+                h1 = h2 = ""
+            if h1 in _HEXDIGITS and h2 in _HEXDIGITS:
+                byte = int(h1 + h2, 16)
+                ch = chr(byte)
+                if byte < 0x80 and ch in _UNRESERVED:
+                    out.append(ch)
+                else:
+                    out.append("%" + h1.upper() + h2.upper())
+                i += 3
+                continue
+            # stray percent sign → %25 (WithPercentEncodeSinglePercentSign)
+            out.append("%25")
+            i += 1
+            continue
+        if c in safe:
+            out.append(c)
+        else:
+            out.append("".join("%%%c%c" % (_HEX[b >> 4], _HEX[b & 15])
+                               for b in c.encode("utf-8")))
+        i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            if path.startswith("/"):
+                j = path.find("/", 1)
+            else:
+                j = path.find("/")
+            if j == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:j])
+                path = path[j:]
+    return "".join(output)
+
+
+def _strip_url_whitespace(raw: str) -> str:
+    """WHATWG URL §4.2: strip leading/trailing C0 controls + space, remove
+    ASCII tab and newline anywhere (the reference's fixture server exercises
+    tabs/newlines inside hrefs, roddy_httptestserver.go:159-173)."""
+    start, end = 0, len(raw)
+    while start < end and ord(raw[start]) <= 0x20:
+        start += 1
+    while end > start and ord(raw[end - 1]) <= 0x20:
+        end -= 1
+    s = raw[start:end]
+    if "\t" in s or "\n" in s or "\r" in s:
+        s = s.replace("\t", "").replace("\n", "").replace("\r", "")
+    return s
+
+
+def canonicalize_url(raw: str | None) -> str | None:
+    """Canonical (normalized) form of an absolute http(s) URL, or None if the
+    URL is unparseable / not absolute http(s).
+
+    Normalizations applied (all standard RFC 3986 / WHATWG):
+      lowercase scheme + host; drop default port; remove-dot-segments;
+      empty path → "/"; percent-encoding normalized per component; stray
+      '%' → %25; whitespace stripped per WHATWG. Fragment KEPT (the
+      reference normalizes with ``Href(false)``, i.e. fragment included).
+    """
+    if raw is None:
+        return None
+    s = _strip_url_whitespace(raw)
+    if not s:
+        return None
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    try:
+        port = parts.port  # validates numeric range
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    userinfo = ""
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += ":" + parts.password
+        netloc = userinfo + "@" + netloc
+    path = _pct_normalize(parts.path, _PATH_SAFE)
+    path = _remove_dot_segments(path)
+    if not path:
+        path = "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += "?" + _pct_normalize(parts.query, _QUERY_SAFE)
+    if parts.fragment:
+        out += "#" + _pct_normalize(parts.fragment, _FRAG_SAFE)
+    return out
+
+
+def resolve_url(base: str | None, href: str | None) -> str | None:
+    """Resolve ``href`` against ``base`` and canonicalize; returns None for
+    pure-fragment links (dropped before resolution per request.go:62-64),
+    empty hrefs, or unresolvable inputs. ``base`` should already be canonical
+    (or at least absolute); honors ``<base href>`` when the caller passes the
+    page's effective base (roddy.go:507-516)."""
+    if href is None:
+        return None
+    h = _strip_url_whitespace(href)
+    if not h or h.startswith("#"):
+        return None
+    # absolute already?
+    low = h.lower()
+    if low.startswith("http://") or low.startswith("https://"):
+        return canonicalize_url(h)
+    if ":" in h.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]:
+        # other scheme (mailto:, javascript:, data:, ...) → not crawlable
+        if not h.startswith("//"):
+            return None
+    if base is None:
+        return None
+    b = canonicalize_url(base)
+    if b is None:
+        return None
+    bp = urlsplit(b)
+    if h.startswith("//"):
+        return canonicalize_url(f"{bp.scheme}:{h}")
+    if h.startswith("/"):
+        return canonicalize_url(f"{bp.scheme}://{bp.netloc}{h}")
+    if h.startswith("?"):
+        return canonicalize_url(f"{bp.scheme}://{bp.netloc}{bp.path}{h}")
+    # relative path: merge per RFC 3986 §5.3
+    base_dir = bp.path.rsplit("/", 1)[0] if "/" in bp.path else ""
+    return canonicalize_url(f"{bp.scheme}://{bp.netloc}{base_dir}/{h}")
+
+
+def url_host(url: str | None) -> str | None:
+    """Hostname of a canonical URL (reference roddy.go:259 feeds this to the
+    exact-equality domain filters)."""
+    if url is None:
+        return None
+    try:
+        return urlsplit(url).hostname
+    except ValueError:
+        return None
+
+
+def url_hash(url_norm: str | None) -> int | None:
+    """Visited-set key: xxhash64(utf8(url_norm), seed=42) — identical to
+    Spark's ``F.xxhash64(col)`` on the same string."""
+    if url_norm is None:
+        return None
+    return xxhash64(url_norm)
