@@ -1,0 +1,205 @@
+"""Single-threaded Python reference oracle for the crawl semantics.
+
+Implements, literally and sequentially, the semantics the Spark engine must
+reproduce (SURVEY.md §1.3 invariants + §3.3 level-synchronous
+reconstruction of the reference's queue mode, queue/queue.go:108-208):
+
+  * seeds at depth 1; children at depth+1; paging (rel="next") at the SAME
+    depth (request.go:94-105); reject iff max_depth>0 and depth>max_depth
+  * admission-filter order: depth → request budget → deny regexes → allow
+    regexes → domain deny → domain allow → robots (north-rule addition) →
+    visited (roddy.go:250-268, 270-290)
+  * visited marked AT ADMISSION, before fetch; failed fetches stay visited
+    and are never retried (roddy.go:292-310)
+  * first-occurrence-wins dedup in candidate order; candidate order within
+    a batch is (priority, parent_seq, link_pos); admitted rows get a global
+    monotonically increasing ``seq`` — the crawl ordering the engine must
+    match exactly
+  * per-host politeness budget with DEFERRAL: within a batch, only the
+    first ``per_host_budget`` admitted rows per host (by priority, seq)
+    fetch; the rest carry over to the next batch, keeping their seq —
+    deferred rows are already visited-marked so they must NOT be re-deduped
+    (SURVEY.md §7.4.3)
+  * redirects (3xx) carry their target as their only link (synthweb.py's
+    documented model); non-HTML content types and failed fetches (status
+    ≥ 400 or missing page) produce no links
+  * budgets: max_requests caps ADMISSIONS (reference: fetch starts,
+    1:1 in roddy since it has no deferral, roddy.go:255-257); max_responses
+    caps successful fetches, checked at batch granularity (documented
+    deviation from roddy's racy mid-level atomic — SURVEY.md §7.4.4)
+
+The oracle is intentionally simple (plain dicts/lists, no Spark) so it can
+be audited line-by-line against the reference semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.functions.urlkernel import (canonicalize_url, resolve_url,
+                                             url_hash, url_host)
+from roddy_spark.robots import build_robots_map, robots_allowed
+
+PRIORITY_PAGING = 0   # rel="next" links — scheduled before children (D8)
+PRIORITY_CHILD = 1
+
+
+@dataclass
+class OracleResult:
+    # (url_norm, depth, seq, host) in admission order — THE crawl ordering
+    admitted: list[tuple[str, int, int, str]] = field(default_factory=list)
+    # url_norm → fetch outcome
+    fetches: list[dict] = field(default_factory=list)
+    visited_hashes: set[int] = field(default_factory=set)
+    rejected: dict[str, int] = field(default_factory=dict)
+    batches: list[dict] = field(default_factory=list)
+
+    @property
+    def visited_urls(self) -> set[str]:
+        return {a[0] for a in self.admitted}
+
+    @property
+    def order(self) -> list[str]:
+        return [a[0] for a in sorted(self.admitted, key=lambda a: a[2])]
+
+
+def crawl_oracle(pages: dict[str, dict], seeds: list[str],
+                 config: CrawlConfig,
+                 robots_rows: list[tuple[str, str]] | None = None,
+                 max_batches: int = 200) -> OracleResult:
+    """pages: url_norm → {status:int, content_type:str, base_href:str|None,
+    links:[{href,text,pos,rel}]} (the synthetic-web table, collected)."""
+    res = OracleResult()
+    robots = build_robots_map(robots_rows or [])
+    deny_re = [re.compile(p) for p in config.disallowed_url_filters]
+    allow_re = [re.compile(p) for p in config.url_filters]
+    admitted_count = 0
+    success_count = 0
+    seq_counter = 0
+
+    def reject(reason: str) -> None:
+        res.rejected[reason] = res.rejected.get(reason, 0) + 1
+
+    # candidates: (priority, parent_seq, pos, url_norm, depth)
+    candidates = []
+    for i, s in enumerate(seeds):
+        u = canonicalize_url(s)
+        if u is None:
+            reject("unparseable")
+            continue
+        candidates.append((PRIORITY_CHILD, i, 0, u, 1))
+    deferred: list[tuple[str, int, int, int]] = []  # (url, depth, prio, seq)
+
+    batch_id = 0
+    while (candidates or deferred) and batch_id < max_batches:
+        batch_id += 1
+        # --- admission (sequential, in candidate order) -------------------
+        candidates.sort(key=lambda c: (c[0], c[1], c[2]))
+        newly_admitted: list[tuple[str, int, int, int]] = []
+        for prio, _parent_seq, _pos, url, depth in candidates:
+            if config.max_depth and depth > config.max_depth:
+                reject("max_depth")
+                continue
+            if config.max_requests and admitted_count >= config.max_requests:
+                reject("max_requests")
+                continue
+            if any(r.search(url) for r in deny_re):
+                reject("disallowed_url_filter")
+                continue
+            if allow_re and not any(r.search(url) for r in allow_re):
+                reject("url_filter")
+                continue
+            host = url_host(url) or ""
+            if host in config.disallowed_domains:
+                reject("domain_deny")
+                continue
+            if config.allowed_domains and host not in config.allowed_domains:
+                reject("domain_allow")
+                continue
+            if config.respect_robots and host in robots:
+                path = url.split(host, 1)[1] if host in url else "/"
+                if not robots_allowed(robots[host], path):
+                    reject("robots")
+                    continue
+            h = url_hash(url)
+            if not config.allow_url_revisit and h in res.visited_hashes:
+                reject("visited")
+                continue
+            res.visited_hashes.add(h)       # mark AT admission
+            admitted_count += 1
+            seq = seq_counter
+            seq_counter += 1
+            res.admitted.append((url, depth, seq, host))
+            newly_admitted.append((url, depth, prio, seq))
+        candidates = []
+
+        # --- politeness: per-host budget, deferral carries over -----------
+        pool = deferred + newly_admitted
+        pool.sort(key=lambda r: (r[2], r[3]))  # (priority, seq)
+        to_fetch: list[tuple[str, int, int, int]] = []
+        deferred = []
+        per_host: dict[str, int] = {}
+        for url, depth, prio, seq in pool:
+            host = url_host(url) or ""
+            n = per_host.get(host, 0)
+            if config.per_host_budget and n >= config.per_host_budget:
+                deferred.append((url, depth, prio, seq))
+            else:
+                per_host[host] = n + 1
+                to_fetch.append((url, depth, prio, seq))
+
+        # --- fetch + extract ----------------------------------------------
+        n_success = n_failure = 0
+        for url, depth, prio, seq in sorted(to_fetch, key=lambda r: r[3]):
+            page = pages.get(url)
+            status = page["status"] if page else 404
+            ok = page is not None and status < 400
+            res.fetches.append({"url_norm": url, "depth": depth, "seq": seq,
+                                "status": status, "success": ok,
+                                "batch": batch_id})
+            if ok:
+                n_success += 1
+                success_count += 1
+            else:
+                n_failure += 1
+                continue
+            if page["content_type"] != "text/html" and not (
+                    300 <= status < 400):
+                continue
+            # <base href> may itself be relative → resolve against page URL
+            base = url
+            if page.get("base_href"):
+                base = resolve_url(url, page["base_href"]) or url
+            for link in page["links"]:
+                child = resolve_url(base, link["href"])
+                if child is None:
+                    continue
+                if link.get("rel") == "next":
+                    candidates.append(
+                        (PRIORITY_PAGING, seq, link["pos"], child, depth))
+                else:
+                    candidates.append(
+                        (PRIORITY_CHILD, seq, link["pos"], child, depth + 1))
+
+        res.batches.append({"batch": batch_id, "fetched": len(to_fetch),
+                            "success": n_success, "failure": n_failure,
+                            "deferred": len(deferred),
+                            "admitted": len(newly_admitted)})
+        if config.max_responses and success_count >= config.max_responses:
+            break
+    return res
+
+
+def pages_dict_from_pandas(pdf) -> dict[str, dict]:
+    """synthweb_pandas() → the oracle's pages mapping."""
+    out = {}
+    for _, row in pdf.iterrows():
+        out[row["url"]] = {
+            "status": int(row["status"]),
+            "content_type": row["content_type"],
+            "base_href": row["base_href"],
+            "links": list(row["links"]),
+        }
+    return out
