@@ -1,0 +1,84 @@
+"""Fetch stage (SURVEY.md S1-S3, reference bot.go:30-57 + botpool.go).
+
+In production the fetch is network I/O: a ``mapInPandas`` stage whose
+per-partition lazily-initialized client replaces the reference's browser
+pool (executor task slots ARE the pool). In this sandbox the "network" is
+the deterministic synthetic-web TABLE (FIXTURES.md §2), so the default
+fetcher is a declarative JOIN frontier→pages — Catalyst plans it (AQE,
+broadcast if small, skew-join salting), which is strictly better than
+hand-scheduling. A ``mapInPandas`` fetcher with the per-partition-client
+shape is provided as the production pattern and tested for result parity.
+
+URLs with no page row resolve to status 404; status ≥ 400 is a failed
+fetch. Failed URLs remain visited and are never retried (mark-at-admission,
+roddy.go:292-310).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                               StructField, StructType)
+
+_PAGE_COLS = ("url", "status", "content_type", "body_html")
+
+FETCH_RESULT_EXTRA = StructType([
+    StructField("status", IntegerType()),
+    StructField("content_type", StringType()),
+    StructField("body_html", StringType()),
+])
+
+
+def fetch_join(to_fetch: DataFrame, pages: DataFrame) -> DataFrame:
+    """Declarative fetch: LEFT join frontier → pages on canonical URL."""
+    p = pages.select(*[F.col(c) for c in _PAGE_COLS])
+    out = (to_fetch.join(p, to_fetch.url_norm == p.url, "left")
+           .drop("url")
+           .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+           .withColumn("success", F.col("status") < 400)
+           .withColumn("fetched_at", F.current_timestamp())
+           .withColumn("fetch_partition", F.spark_partition_id()))
+    return out
+
+
+def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict) -> DataFrame:
+    """Production-shaped fetch: Arrow-batched ``mapInPandas`` whose
+    per-partition state stands in for an HTTP/browser client (the reference's
+    bot pool, botpool.go:9-70). ``page_lookup`` is broadcast: url →
+    (status, content_type, body_html). Sandbox-only as a dict; with a real
+    network the closure would hold a lazily-created client instead."""
+    spark = to_fetch.sparkSession
+    bc = spark.sparkContext.broadcast(page_lookup)
+    in_fields = to_fetch.schema.fields
+    schema = StructType(list(in_fields) + list(FETCH_RESULT_EXTRA.fields)
+                        + [StructField("success", BooleanType())])
+
+    def do_fetch(batches):
+        store = bc.value  # per-partition "client" init happens once here
+        for pdf in batches:
+            statuses, ctypes, bodies = [], [], []
+            for u in pdf["url_norm"]:
+                row = store.get(u)
+                if row is None:
+                    statuses.append(404)
+                    ctypes.append(None)
+                    bodies.append(None)
+                else:
+                    statuses.append(row[0])
+                    ctypes.append(row[1])
+                    bodies.append(row[2])
+            out = pdf.copy()
+            out["status"] = pd.Series(statuses, dtype="int32")
+            out["content_type"] = ctypes
+            out["body_html"] = bodies
+            out["success"] = out["status"] < 400
+            yield out
+
+    return to_fetch.mapInPandas(do_fetch, schema)
+
+
+def page_lookup_from_pandas(pdf) -> dict:
+    return {r["url"]: (int(r["status"]), r["content_type"], r["body_html"])
+            for _, r in pdf.iterrows()}

@@ -1,0 +1,159 @@
+"""URL-seen dedup (SURVEY.md F8, reference roddy.go:292-310 +
+storage/storage.go:47-90) — the 10^10-scale cost center (SURVEY.md §7.4.1).
+
+Two-phase design per the north rule:
+  1. a broadcast BLOOM pre-filter over the visited hashes — vectorized
+     numpy membership inside a pandas UDF — cheaply discards the vast
+     majority of already-seen URLs *before* they reach the shuffle;
+  2. an exact ``LEFT ANTI`` join against the ``visited`` table confirms
+     (bloom false-positives would otherwise drop never-seen URLs).
+
+Between micro-batches the filter is DELTA-MERGED: only the batch's newly
+admitted hashes are OR-ed into the structure driver-side (the north rule's
+"cuckoo-filter delta merges per micro-batch" — we use a counting-free bloom
+since the crawl never deletes from the visited set; a cuckoo filter's
+deletability buys nothing here, and bloom delta-merge is a pure bitwise OR).
+
+At true 10^10 scale a single broadcast filter (~12 GB at 10 bits/key) is too
+big; ``ShardedBloom`` keys shards by ``pmod(url_hash, n_shards)`` so each
+executor-side lookup touches one shard and shards can be sized/rotated to the
+active working set; the exact anti-join (bucketed on url_hash in the
+snapshot store) remains the ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+class Bloom:
+    """Vectorized numpy bloom filter over int64 hashes.
+
+    Double hashing (Kirsch–Mitzenmacher): index_i = h1 + i*h2 (mod m),
+    with h1/h2 derived from the already-well-mixed xxhash64 key.
+    """
+
+    def __init__(self, capacity: int, fpp: float = 0.01):
+        bits = max(64, int(-capacity * np.log(fpp) / (np.log(2) ** 2)))
+        self.m = 1 << int(np.ceil(np.log2(bits)))  # power of two
+        self.k = max(1, int(round((self.m / max(capacity, 1)) * np.log(2))))
+        self.k = min(self.k, 16)
+        self.bits = np.zeros(self.m // 8, dtype=np.uint8)
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        h1 = h & np.uint64(self.m - 1)
+        h2 = ((h >> np.uint64(33)) | np.uint64(1))
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1 + i * h2) & np.uint64(self.m - 1)  # (k, n)
+
+    def add(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        idx = self._indices(np.asarray(hashes, dtype=np.int64)).ravel()
+        np.bitwise_or.at(self.bits, (idx >> 3).astype(np.int64),
+                         (1 << (idx & 7)).astype(np.uint8))
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(np.asarray(hashes, dtype=np.int64))  # (k, n)
+        bytes_ = self.bits[(idx >> 3).astype(np.int64)]
+        bits = (bytes_ >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return bits.all(axis=0)
+
+    def merge(self, other: "Bloom") -> None:
+        """Delta merge (bitwise OR) — the per-micro-batch merge step."""
+        if other.m != self.m or other.k != self.k:
+            raise ValueError("bloom shape mismatch")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+class ShardedBloom:
+    """Bloom sharded by pmod(hash, n_shards) — the 10^10-scale layout: each
+    shard stays broadcast-size and shards are delta-merged independently."""
+
+    def __init__(self, capacity: int, fpp: float = 0.01, n_shards: int = 1):
+        self.n_shards = max(1, n_shards)
+        per = max(1024, capacity // self.n_shards)
+        self.shards = [Bloom(per, fpp) for _ in range(self.n_shards)]
+
+    def _split(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(int)
+
+    def add(self, hashes: np.ndarray) -> None:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        sh = self._split(hashes)
+        for s in range(self.n_shards):
+            self.shards[s].add(hashes[sh == s])
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        sh = self._split(hashes)
+        for s in range(self.n_shards):
+            mask = sh == s
+            if mask.any():
+                out[mask] = self.shards[s].might_contain(hashes[mask])
+        return out
+
+
+def bloom_prefilter(candidates: DataFrame, bloom: "ShardedBloom | Bloom",
+                    hash_col: str = "url_hash") -> DataFrame:
+    """Tag each row with ``__maybe_seen`` from the broadcast bloom. A bloom
+    has no false negatives, so ``False`` ⇒ the URL is definitely new and can
+    bypass the exact anti-join entirely; ``True`` ⇒ maybe seen (or a false
+    positive) and must be confirmed by the anti-join. See ``dedup_against``.
+    """
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.might_contain(h.to_numpy(dtype=np.int64)))
+
+    return candidates.withColumn("__maybe_seen", maybe_seen(F.col(hash_col)))
+
+
+def dedup_against(candidates: DataFrame, visited: DataFrame | None,
+                  bloom: "ShardedBloom | Bloom | None" = None,
+                  hash_col: str = "url_hash") -> DataFrame:
+    """Exact not-yet-visited filter with optional bloom fast path.
+
+    With a bloom: candidates split into definitely-new (bloom negative —
+    pass through with NO join) and maybe-seen (bloom positive — exact
+    LEFT ANTI join against ``visited``). Without: plain anti-join.
+    """
+    if visited is None:
+        return candidates
+    if bloom is None:
+        return candidates.join(F.broadcast(visited.select(hash_col))
+                               if _small(visited) else visited.select(hash_col),
+                               on=hash_col, how="left_anti")
+    tagged = bloom_prefilter(candidates, bloom, hash_col)
+    fresh = tagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed = maybe.join(visited.select(hash_col), on=hash_col,
+                           how="left_anti")
+    return fresh.unionByName(confirmed)
+
+
+def _small(df: DataFrame) -> bool:
+    # visited is typically huge; broadcast only when provably tiny
+    return False
+
+
+def first_occurrence(candidates: DataFrame, hash_col: str = "url_hash",
+                     order_cols: tuple[str, ...] = ("priority", "parent_seq",
+                                                    "pos")) -> DataFrame:
+    """Within-batch first-occurrence-wins dedup (SURVEY.md F8 note): keep the
+    candidate instance with the minimum discovery-order tuple per URL.
+    Expressed as min_by aggregation (map-side partial agg; no window sort)."""
+    others = [c for c in candidates.columns if c != hash_col]
+    ord_expr = F.struct(*[F.col(c) for c in order_cols])
+    agg = [F.min_by(F.col(c), ord_expr).alias(c) for c in others]
+    return candidates.groupBy(hash_col).agg(*agg)

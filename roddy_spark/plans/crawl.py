@@ -1,0 +1,323 @@
+"""The iterative BFS crawl driver (SURVEY.md §3.3) — one micro-batch per
+frontier level, checkpointed after every batch so a killed job resumes from
+the last snapshot (reference analog: queue persistence + serialized
+requests, queue/queue.go:99-106, roddy.go:656-681; north rule: resume from
+the last Iceberg snapshot).
+
+Snapshot store: in production this is Iceberg (atomic snapshots, hidden
+partitioning by ``batch``, bucketing by ``url_hash`` for the storage-
+partitioned anti-join). The sandbox has no Iceberg runtime, so the store is
+parquet directories partitioned by batch plus an atomically-renamed JSON
+manifest — the same layout/contract, pluggable behind ``SnapshotStore``.
+
+Per-batch dataflow (each arrow is declarative DataFrame API; pandas UDFs
+only at parse/canonicalize):
+
+  candidates ─ admit(filters → in-batch dedup → bloom+anti-join → seq) ─┐
+  pending ────────────────────────────────────────────────────────────► pool
+  pool ─ politeness_split(per-host window budget) ─► to_fetch + deferred
+  to_fetch ─ fetch(join vs pages) ─► fetched  (mark-at-admission already
+                                               persisted BEFORE this step)
+  fetched ─ parse_html_udf ─ explode links ─ resolve+canonicalize ─►
+      next candidates (depth+1; rel="next" keeps depth, priority 0 — D8)
+
+Plan truncation: every written table is re-read before the next batch, so
+lineage never grows across iterations (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.extract import parse_html_udf
+from roddy_spark.fetch import fetch_join
+from roddy_spark.functions import urls as U
+from roddy_spark.operators.admission import admit
+from roddy_spark.operators.dedup import Bloom
+from roddy_spark.operators.politeness import politeness_split
+from roddy_spark.operators.rank import release_rank_caches
+
+PRIORITY_PAGING = 0
+PRIORITY_CHILD = 1
+
+CANDIDATE_SCHEMA = StructType([
+    StructField("url_norm", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("priority", IntegerType()),
+    StructField("parent_seq", LongType()),
+    StructField("pos", IntegerType()),
+])
+
+
+class SnapshotStore:
+    """Parquet + manifest snapshot layout (Iceberg stand-in, same contract:
+    the manifest names the last COMPLETE batch; partial writes of batch N+1
+    are invisible until the manifest flips)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str, batch: int | None = None) -> str:
+        p = os.path.join(self.root, table)
+        return p if batch is None else os.path.join(p, f"batch={batch}")
+
+    def write(self, df: DataFrame, table: str, batch: int) -> None:
+        df.write.mode("overwrite").parquet(self.path(table, batch))
+
+    def read(self, spark: SparkSession, table: str,
+             batch: int | None = None) -> DataFrame | None:
+        # ``batch`` is stored as a REGULAR column where needed; the
+        # directory layout is only for snapshot isolation, so reads go
+        # through an explicit glob (no partition-column inference).
+        p = (self.path(table, batch) if batch is not None
+             else os.path.join(self.path(table), "batch=*"))
+        try:
+            return spark.read.parquet(p)
+        except Exception:
+            return None
+
+    def manifest(self) -> dict | None:
+        p = os.path.join(self.root, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_manifest(self, m: dict) -> None:
+        p = os.path.join(self.root, "manifest.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, p)  # atomic snapshot flip
+
+
+@dataclass
+class CrawlState:
+    store: SnapshotStore
+    batches: list[dict]
+    admitted_count: int
+    success_count: int
+
+    def visited(self, spark: SparkSession) -> DataFrame:
+        df = self.store.read(spark, "visited")
+        return df if df is not None else _empty_visited(spark)
+
+    def fetches(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, "fetches")
+
+    def order(self, spark: SparkSession) -> list[str]:
+        return [r["url_norm"] for r in
+                self.visited(spark).orderBy("seq").collect()]
+
+
+def _empty_visited(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], StructType([
+        StructField("url_norm", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+    ]))
+
+
+def expand(fetched: DataFrame) -> DataFrame:
+    """Fetched pages → next-batch candidates (SURVEY.md S4/S7/S8):
+    parse HTML, explode anchors, resolve against the effective <base href>,
+    canonicalize; rel="next" links keep the parent's depth at paging
+    priority (request.go:98-105 semantics), others go to depth+1."""
+    html = fetched.filter(
+        F.col("success") & ((F.col("content_type") == "text/html")
+                            | ((F.col("status") >= 300)
+                               & (F.col("status") < 400))))
+    parsed = html.withColumn("parsed", parse_html_udf("body_html"))
+    base = F.coalesce(U.resolve(F.col("url_norm"),
+                                F.col("parsed.base_href")),
+                      F.col("url_norm"))
+    links = (parsed
+             .withColumn("base", base)
+             .select("url_norm", "depth", "seq", "base",
+                     F.explode("parsed.links").alias("link")))
+    child = U.resolve(F.col("base"), F.col("link.href"))
+    out = (links
+           .withColumn("child", child)
+           .filter(F.col("child").isNotNull())
+           .select(
+               F.col("child").alias("url_norm"),
+               F.when(F.col("link.rel") == "next", F.col("depth"))
+                .otherwise(F.col("depth") + 1).cast("int").alias("depth"),
+               F.when(F.col("link.rel") == "next", F.lit(PRIORITY_PAGING))
+                .otherwise(F.lit(PRIORITY_CHILD)).cast("int").alias("priority"),
+               F.col("seq").alias("parent_seq"),
+               F.col("link.pos").alias("pos")))
+    return out
+
+
+def extractions(fetched: DataFrame) -> DataFrame:
+    """The OnHTML/OnData output rows (titles, descriptions, image refs) —
+    what a user callback would consume (roddy_test.go:140-168 parity)."""
+    html = fetched.filter(F.col("success")
+                          & (F.col("content_type") == "text/html"))
+    return (html.withColumn("parsed", parse_html_udf("body_html"))
+            .select("url_norm", "depth", "seq", "batch",
+                    F.col("parsed.title").alias("title"),
+                    F.col("parsed.descriptions").alias("descriptions"),
+                    F.col("parsed.images").alias("images"),
+                    F.size(F.coalesce(F.col("parsed.links"),
+                                      F.array())).alias("n_links")))
+
+
+class Crawler:
+    """Level-synchronous BFS crawler. ``pages`` is the synthetic-web table
+    (the sandbox network); swap ``fetcher`` for a networked mapInPandas
+    stage in production."""
+
+    def __init__(self, spark: SparkSession, config: CrawlConfig,
+                 pages: DataFrame, checkpoint_dir: str,
+                 robots_map: dict | None = None, fetcher=fetch_join,
+                 max_batches: int = 200):
+        self.spark = spark
+        self.config = config
+        self.pages = pages
+        self.store = SnapshotStore(checkpoint_dir)
+        self.robots_map = robots_map or {}
+        self.fetcher = fetcher
+        self.max_batches = max_batches
+
+    # -- state helpers -------------------------------------------------
+    def _seed_candidates(self, seeds: list[str]) -> DataFrame:
+        rows = []
+        for i, s in enumerate(seeds):
+            rows.append((s, 1, PRIORITY_CHILD, i, 0))
+        df = self.spark.createDataFrame(rows, ["raw_url", "depth", "priority",
+                                               "parent_seq", "pos"])
+        return (df.withColumn("url_norm", U.canonicalize("raw_url"))
+                  .filter(F.col("url_norm").isNotNull())
+                  .select("url_norm",
+                          F.col("depth").cast("int").alias("depth"),
+                          F.col("priority").cast("int").alias("priority"),
+                          F.col("parent_seq").cast("long").alias("parent_seq"),
+                          F.col("pos").cast("int").alias("pos")))
+
+    def _build_bloom(self, visited: DataFrame | None) -> Bloom:
+        bloom = Bloom(self.config.bloom_capacity, self.config.bloom_fpp)
+        if visited is not None:
+            # sandbox-scale rebuild: collect hashes driver-side. At 10^10
+            # the rebuild is distributed instead: per-partition Bloom bits
+            # OR-reduced (treeAggregate) — same structure, and the routine
+            # below is only used on RESUME; during a run the filter is
+            # delta-merged per batch (never rebuilt).
+            hashes = [r[0] for r in visited.select("url_hash").collect()]
+            import numpy as np
+            bloom.add(np.asarray(hashes, dtype=np.int64))
+        return bloom
+
+    # -- main loop ------------------------------------------------------
+    def run(self, seeds: list[str] | None = None,
+            resume: bool = False) -> CrawlState:
+        spark, store, cfg = self.spark, self.store, self.config
+        m = store.manifest() if resume else None
+        if m:
+            batch = m["completed_batch"]
+            admitted_count = m["admitted_count"]
+            success_count = m["success_count"]
+            batches = m["batches"]
+            candidates = store.read(spark, "candidates", batch)
+            pending = store.read(spark, "pending", batch)
+            visited = store.read(spark, "visited")
+            bloom = self._build_bloom(visited)
+        else:
+            if seeds is None:
+                raise ValueError("seeds required for a fresh crawl")
+            batch = 0
+            admitted_count = success_count = 0
+            batches = []
+            candidates = self._seed_candidates(seeds)
+            pending = None
+            visited = None
+            bloom = Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+            store.commit_manifest({
+                "completed_batch": 0, "admitted_count": 0,
+                "success_count": 0, "batches": [], "done": False,
+                "config": repr(cfg)})
+
+        import numpy as np
+
+        while batch < self.max_batches:
+            batch += 1
+            t0 = time.time()
+            n_cand = candidates.count() if candidates is not None else 0
+            n_pending = pending.count() if pending is not None else 0
+            if n_cand == 0 and n_pending == 0:
+                break
+            if cfg.max_responses and success_count >= cfg.max_responses:
+                break
+
+            # 1. admission (+ mark-at-admission: persist BEFORE fetching)
+            if n_cand:
+                admitted = admit(candidates, cfg, visited, bloom,
+                                 self.robots_map, admitted_count)
+                store.write(admitted.withColumn("batch", F.lit(batch)),
+                            "visited", batch)
+                release_rank_caches()
+                admitted = store.read(spark, "visited", batch).drop("batch")
+                delta = [r[0] for r in admitted.select("url_hash").collect()]
+                bloom.add(np.asarray(delta, dtype=np.int64))
+                n_admitted = len(delta)
+                admitted_count += n_admitted
+            else:
+                admitted = _empty_visited(spark)
+                n_admitted = 0
+
+            # 2. politeness: pending ∪ newly admitted → fetch now vs defer
+            pool = admitted if pending is None else (
+                pending.select(*admitted.columns).unionByName(admitted))
+            to_fetch, deferred = politeness_split(
+                pool, cfg.per_host_budget, cfg.salt_buckets)
+            store.write(deferred, "pending", batch)
+
+            # 3. fetch (the admitted rows are already durably visited)
+            fetched = self.fetcher(to_fetch, self.pages).withColumn(
+                "batch", F.lit(batch))
+            store.write(fetched, "fetches", batch)
+            fetched = store.read(spark, "fetches", batch)
+
+            # 4. expansion → next batch's candidates
+            store.write(expand(fetched), "candidates", batch)
+
+            # 5. metrics + snapshot commit
+            stats = (fetched.agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.col("success").cast("long")).alias("ok")).collect()[0])
+            n_fetched = stats["fetched"]
+            n_ok = int(stats["ok"] or 0)
+            success_count += n_ok
+            batches.append({
+                "batch": batch, "candidates": n_cand, "admitted": n_admitted,
+                "fetched": n_fetched, "success": n_ok,
+                "failure": n_fetched - n_ok,
+                "secs": round(time.time() - t0, 3)})
+            store.commit_manifest({
+                "completed_batch": batch, "admitted_count": admitted_count,
+                "success_count": success_count, "batches": batches,
+                "done": False, "config": repr(cfg)})
+
+            # 6. roll state (re-read from disk: plan truncation)
+            candidates = store.read(spark, "candidates", batch)
+            pending = store.read(spark, "pending", batch)
+            visited = store.read(spark, "visited")
+
+        final = store.manifest() or {}
+        final["done"] = True
+        store.commit_manifest(final)
+        return CrawlState(store, batches, admitted_count, success_count)
