@@ -1,0 +1,144 @@
+"""Resume-from-snapshot, HTML-extraction parity, fetcher parity, and the
+image payload pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.extract import parse_html
+from roddy_spark.fetch import fetch_mapinpandas, page_lookup_from_pandas
+from roddy_spark.oracle import crawl_oracle, pages_dict_from_pandas
+from roddy_spark.plans.crawl import Crawler, extractions
+from roddy_spark.sources.synthweb import (WebConfig, robots_pandas,
+                                          synthweb_df, synthweb_pandas)
+
+WEB = WebConfig(n_hosts=3, n_pages=120, n_corpus=50)
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pdf = synthweb_pandas(WEB)
+    df = synthweb_df(spark, WEB, partitions=4)
+    df.persist().count()
+    yield pdf, df
+    df.unpersist()
+
+
+def test_extraction_parity_with_links_column(web, spark):
+    """Parsing body_html must reproduce the structured links column — the
+    extraction UDF is the real path, the column is the fixture's oracle."""
+    pdf, _ = web
+    for _, row in pdf.iterrows():
+        if row["content_type"] != "text/html":
+            continue
+        parsed = parse_html(row["body_html"])
+        got = [(l["href"], l["pos"], l["rel"]) for l in parsed["links"]]
+        exp = [(l["href"], l["pos"], l["rel"]) for l in row["links"]]
+        assert got == exp, f"link mismatch on {row['url']}"
+        assert parsed["base_href"] == row["base_href"]
+        assert parsed["title"] == row["title"]
+        got_imgs = [i["src"] for i in parsed["images"]]
+        exp_imgs = [r["src"] for r in row["image_refs"]]
+        assert got_imgs == exp_imgs
+        # p.description count parity (roddy_test.go:140-168 analog)
+        assert len(parsed["descriptions"]) >= 1
+
+
+def test_resume_equals_uninterrupted(spark, web, tmp_path):
+    """Kill after batch 1, resume from the snapshot store → identical final
+    state to an uninterrupted run (SURVEY.md §5 item 6)."""
+    _, pages_df = web
+    cfg = CrawlConfig(max_depth=3, per_host_budget=4)
+    seeds = ["http://h0.test/"]
+
+    full = Crawler(spark, cfg, pages_df, str(tmp_path / "full")).run(seeds)
+
+    # interrupted run: stop the loop after 1 batch (simulates a kill — the
+    # manifest names batch 1 as the last complete snapshot)
+    part = Crawler(spark, cfg, pages_df, str(tmp_path / "part"),
+                   max_batches=1)
+    part.run(seeds)
+    m = part.store.manifest()
+    assert m["completed_batch"] == 1
+
+    resumed = Crawler(spark, cfg, pages_df, str(tmp_path / "part"))
+    state = resumed.run(resume=True)
+
+    got = [(r["url_norm"], r["depth"], r["seq"]) for r in
+           state.visited(spark).orderBy("seq").collect()]
+    exp = [(r["url_norm"], r["depth"], r["seq"]) for r in
+           full.visited(spark).orderBy("seq").collect()]
+    assert got == exp
+    assert state.success_count == full.success_count
+
+
+def test_mapinpandas_fetcher_parity(spark, web, tmp_path):
+    """The production-shaped mapInPandas fetcher produces the same crawl as
+    the declarative join fetcher."""
+    pdf, pages_df = web
+    lookup = page_lookup_from_pandas(pdf)
+    cfg = CrawlConfig(max_depth=2)
+    seeds = ["http://h0.test/"]
+
+    def fetcher(to_fetch, pages):
+        return fetch_mapinpandas(to_fetch, lookup)
+
+    a = Crawler(spark, cfg, pages_df, str(tmp_path / "join")).run(seeds)
+    b = Crawler(spark, cfg, pages_df, str(tmp_path / "mip"),
+                fetcher=fetcher).run(seeds)
+    va = [(r["url_norm"], r["seq"]) for r in
+          a.visited(spark).orderBy("seq").collect()]
+    vb = [(r["url_norm"], r["seq"]) for r in
+          b.visited(spark).orderBy("seq").collect()]
+    assert va == vb
+
+
+def test_image_payload_pipeline(spark, web, tmp_path):
+    """Crawl → extractions → img refs joined to corpus → decode+validate."""
+    from roddy_spark.operators.images import (decode_validate,
+                                              join_page_images)
+    from roddy_spark.sources.corpus import corpus_df
+
+    _, pages_df = web
+    corpus = corpus_df(spark, WEB.n_corpus, seed=42, partitions=4)
+    corpus.persist().count()
+    state = Crawler(spark, CrawlConfig(max_depth=2), pages_df,
+                    str(tmp_path / "img")).run(["http://h0.test/"])
+    fetched = state.fetches(spark)
+    ext = extractions(fetched)
+    pi = join_page_images(ext, corpus)
+    rows = pi.collect()
+    assert rows, "no page-image pairs extracted"
+    assert all(r["caption"] is not None for r in rows), "corpus join missed"
+
+    dv = decode_validate(corpus)
+    bad = dv.filter(~F.col("dims_ok") | ~F.col("phash_ok")
+                    | F.col("decode_error").isNotNull()).collect()
+    assert not bad, f"decode/validate failures: {bad[:3]}"
+    corpus.unpersist()
+
+
+def test_phash_near_duplicates(spark):
+    """Banded phash join finds planted near-dups without a cross join."""
+    import numpy as np
+
+    from roddy_spark.operators.images import phash_near_duplicates
+    from roddy_spark.sources import codecs
+    from roddy_spark.sources.corpus import gen_pixels
+
+    rows = []
+    for i in range(40):
+        px = gen_pixels(42, i)
+        ph = codecs.phash64(px)
+        rows.append((f"img{i:08d}", ph))
+        if i < 5:  # plant a near-dup: lossy re-encode (few-bit phash drift)
+            px2 = codecs.decode_lossy(codecs.encode_lossy(px))
+            rows.append((f"img{i:08d}_dup", codecs.phash64(px2)))
+    df = spark.createDataFrame(rows, ["image_id", "phash"])
+    got = {(r["a"], r["b"]) for r in
+           phash_near_duplicates(df, max_hamming=6).collect()}
+    for i in range(5):
+        a, b = f"img{i:08d}", f"img{i:08d}_dup"
+        assert (a, b) in got or (b, a) in got, f"missed planted dup {i}"
