@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composed frontier-admission query on
+sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the training-data pipeline operators; ``oracle_sql()`` gives each one's
+DuckDB ANSI-SQL twin (rows-only ops — binary image decode and the iterative
+BFS crawl loop — are intentionally absent there).
+
+Implementations live in roddy_spark/plans/contract.py; the engine itself is
+the roddy_spark package.
 """
 
 from __future__ import annotations
@@ -13,26 +16,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from roddy_spark.plans import contract
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: canonical URL synthesis →
+    first-occurrence dedup → visited anti-join → deny-regex filter →
+    per-host politeness window rank (the crawl admission pipeline,
+    SURVEY.md §2.2/§2.5, expressed declaratively)."""
+    return contract.q_frontier_admission(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(contract.ORACLES)

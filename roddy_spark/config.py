@@ -43,6 +43,11 @@ class CrawlConfig:
     salt_buckets: int = 8              # skew salt for repartition-by-host (D6)
     bloom_capacity: int = 1 << 20      # expected visited-set size for the bloom prefilter
     bloom_fpp: float = 0.01
+    # 'auto': enable the broadcast-bloom prefilter once the visited set
+    # exceeds bloom_min_visited (below that the exact anti-join is cheaper
+    # than maintaining the filter); 'on'/'off' force it
+    bloom_mode: str = "auto"
+    bloom_min_visited: int = 50_000
     shuffle_partitions: int | None = None  # override spark.sql.shuffle.partitions per crawl
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 

@@ -58,11 +58,14 @@ def bpe_ish_token_count(c: Column | str) -> Column:
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """n-gram word shingles (distinct), the unit for Jaccard/MinHash dedup."""
+    """n-gram word shingles (distinct), the unit for Jaccard/MinHash dedup.
+    Docs shorter than n tokens yield an empty array."""
     t = tokens(c)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 

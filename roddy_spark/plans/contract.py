@@ -1,0 +1,703 @@
+"""Driver-contract queries: one entry per implemented operator from
+SURVEY.md §2 (+ the training-data pipeline operators), each over the driver
+testdata tables with a DuckDB-oracle ANSI-SQL twin.
+
+Column names are aliased IDENTICALLY on both sides (the driver's compare
+sorts columns by name before value-hashing). Floating-point outputs are
+rounded on both sides; timestamps are emitted as strings.
+
+Spark queries call the engine's own operator modules (this file is wiring,
+not reimplementation); SQL twins restate the semantics in portable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from roddy_spark.functions import text as T
+from roddy_spark.functions import urls as U
+from roddy_spark.operators import similarity as SIM
+from roddy_spark.operators import textdedup as TD
+from roddy_spark.streaming import events as EV
+
+# DuckDB twin of functions.text.h32
+_H32 = "('0x' || substr(md5({x}), 1, 8))::bigint"
+# DuckDB twin of functions.text.tokens
+_TOKS = "list_filter(string_split(lower({x}), ' '), t -> t != '')"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# U1-U7: URL kernel (SURVEY.md §2.1) over synthesized messy URLs
+# ---------------------------------------------------------------------------
+
+def q_url_canonicalize(spark, sf_dir):
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("HTTP://HOST"), (F.col("p_partkey") % 20).cast("string"),
+        F.lit(".TEST"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("/Part/"),
+                             F.col("p_partkey").cast("string"))))
+    return (part.select("p_partkey", raw.alias("raw_url"))
+            .select("p_partkey", U.canonicalize("raw_url").alias("url_norm")))
+
+
+SQL_URL_CANONICALIZE = """
+SELECT p_partkey,
+       'http://host' || CAST(p_partkey % 20 AS VARCHAR) || '.test' ||
+       CASE WHEN p_partkey % 5 = 0 THEN '/'
+            ELSE '/Part/' || CAST(p_partkey AS VARCHAR) END AS url_norm
+FROM part
+"""
+
+
+def q_url_host_hash(spark, sf_dir):
+    c = q_url_canonicalize(spark, sf_dir)
+    return c.select("p_partkey", U.host_of("url_norm").alias("host"),
+                    T.h32("url_norm").alias("url_key"))
+
+
+SQL_URL_HOST_HASH = f"""
+WITH c AS ({SQL_URL_CANONICALIZE})
+SELECT p_partkey,
+       regexp_extract(url_norm, '^http://([^/]+)', 1) AS host,
+       {_H32.format(x='url_norm')} AS url_key
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
+# F8/D7: visited-set anti-join dedup (admitted = frontier MINUS visited)
+# ---------------------------------------------------------------------------
+
+def q_visited_antijoin(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    visited = li.filter(F.col("l_quantity") < 10).select(
+        F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return orders.select("o_orderkey").join(visited, "o_orderkey",
+                                            "left_anti")
+
+
+SQL_VISITED_ANTIJOIN = """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity < 10)
+"""
+
+# ---------------------------------------------------------------------------
+# F8: first-occurrence-wins in-batch dedup (min_by discovery order)
+# ---------------------------------------------------------------------------
+
+def q_first_occurrence(spark, sf_dir):
+    # discovery-order tuple must be a TOTAL order (SURVEY.md §7.4.2):
+    # (l_orderkey, l_linenumber) is not unique in the data, so the order key
+    # tie-breaks on l_partkey — min_by over a partial order is
+    # nondeterministic in any engine
+    li = _read(spark, sf_dir, "lineitem")
+    order_key = (F.col("l_linenumber").cast("long") * 10_000_000
+                 + F.col("l_partkey"))
+    return (li.groupBy("l_orderkey")
+            .agg(F.min_by("l_partkey", order_key).alias("first_partkey"),
+                 F.min("l_linenumber").alias("first_linenumber")))
+
+
+SQL_FIRST_OCCURRENCE = """
+SELECT l_orderkey,
+       min_by(l_partkey,
+              CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey)
+           AS first_partkey,
+       min(l_linenumber) AS first_linenumber
+FROM lineitem GROUP BY l_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# D5/D6: per-host politeness window rank + deferral
+# ---------------------------------------------------------------------------
+
+def q_politeness_rank(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_id", "user_id", "rn"))
+
+
+SQL_POLITENESS_RANK = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+QUALIFY rn <= 3
+"""
+
+
+def q_politeness_deferred(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 3)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_deferred")))
+
+
+SQL_POLITENESS_DEFERRED = """
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, count(*) AS n_deferred FROM r WHERE rn > 3 GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# D1/D9: deterministic ordered top-k admission
+# ---------------------------------------------------------------------------
+
+def q_frontier_topk(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.orderBy("ts", "event_id").limit(100).select("event_id")
+
+
+SQL_FRONTIER_TOPK = """
+SELECT event_id FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# S7/D2: BFS frontier expansion (2-hop reachability counts)
+# ---------------------------------------------------------------------------
+
+def q_bfs_expand(spark, sf_dir):
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    hop1 = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    hop2 = orders.join(hop1.select("c_custkey"),
+                       orders.o_custkey == F.col("c_custkey"))
+    return (hop1.agg(F.lit(1).alias("hop"), F.count("*").alias("n"))
+            .unionByName(
+                hop2.agg(F.lit(2).alias("hop"), F.count("*").alias("n"))))
+
+
+SQL_BFS_EXPAND = """
+SELECT 1 AS hop, count(*) AS n
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 0
+UNION ALL
+SELECT 2 AS hop, count(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 0
+"""
+
+# ---------------------------------------------------------------------------
+# F4/F5: URL regex admission filters (deny checked first)
+# ---------------------------------------------------------------------------
+
+def q_domain_filter(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+    return (docs.select("doc_id", url.alias("url"))
+            .filter(~F.col("url").rlike("src3"))
+            .filter(F.col("url").rlike("src[0-4]")))
+
+
+SQL_DOMAIN_FILTER = """
+SELECT doc_id,
+       'http://' || source || '.example.com/doc/' ||
+       CAST(doc_id AS VARCHAR) AS url
+FROM documents
+WHERE NOT regexp_matches('http://' || source || '.example.com/doc/' ||
+                         CAST(doc_id AS VARCHAR), 'src3')
+  AND regexp_matches('http://' || source || '.example.com/doc/' ||
+                     CAST(doc_id AS VARCHAR), 'src[0-4]')
+"""
+
+# ---------------------------------------------------------------------------
+# skew salting: two-phase salted aggregation == plain aggregation
+# ---------------------------------------------------------------------------
+
+def q_salted_agg(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    salt = F.pmod(T.h32(F.col("event_id").cast("string")), F.lit(8))
+    partial = (ev.groupBy("event_type", salt.alias("salt"))
+               .agg(F.count("*").alias("c")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("c").alias("n_events")))
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# D10: crawl metrics rollup
+# ---------------------------------------------------------------------------
+
+def q_crawl_metrics(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+SQL_CRAWL_METRICS = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: tokens / quality / language / fingerprint
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       T.token_count("text").alias("n_tokens"),
+                       T.bpe_ish_token_count("text").alias("n_subtokens"),
+                       F.length("text").alias("len_chars"))
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_TOKS.format(x='text')}) AS n_tokens,
+       len(list_filter(string_split(
+           regexp_replace(regexp_replace(lower(text),
+               '([0-9]+)', ' \\1 ', 'g'),
+               '([^a-z0-9 \\t\\n]+)', ' \\1 ', 'g'),
+           ' '), t -> t != '')) AS n_subtokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+_SW = "('the','a','of','and','to','in','is','it')"
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    least(length(text) / 500.0, 1.0) AS length_term,
+    CASE WHEN len(toks) > 0
+         THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              / len(toks)
+         ELSE 0.0 END AS wordlen,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> x IN {_SW})) * 1.0 / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text,
+              '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))) * 1.0 / length(text)
+         ELSE 0.0 END AS punct
+  FROM t)
+SELECT doc_id,
+  round((length_term
+         + CASE WHEN wordlen >= 3 AND wordlen <= 10 THEN 1.0 ELSE 0.5 END
+         + least(stop_ratio * 4.0, 1.0)
+         + (1.0 - least(punct * 5.0, 1.0))) / 4.0, 4) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(x='text')} AS toks FROM documents),
+n AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('the','and','of'))) AS n_en,
+  len(list_filter(toks, x -> x IN ('der','und','das'))) AS n_de,
+  len(list_filter(toks, x -> x IN ('el','la','que'))) AS n_es,
+  len(list_filter(toks, x -> x IN ('le','la','et'))) AS n_fr,
+  len(list_filter(toks, x -> x IN ('的','是','了'))) AS n_zh
+  FROM t)
+SELECT doc_id, CASE
+  WHEN greatest(n_en, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
+  WHEN n_en = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'en'
+  WHEN n_de = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'de'
+  WHEN n_es = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'es'
+  WHEN n_fr = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'fr'
+  ELSE 'zh' END AS lang_pred
+FROM n
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family over planted duplicates
+# ---------------------------------------------------------------------------
+
+def _docs_with_exact_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.upper(F.concat(F.col("text"), F.lit("  ")))
+                      .alias("text"))
+    return docs.select("doc_id", "text").unionByName(dup)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return TD.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+WITH un AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) || '  ' FROM documents
+  WHERE doc_id < 200)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM un GROUP BY 1
+"""
+
+
+def _docs_with_near_dups(spark, sf_dir, limit=40):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" tail words"))
+                      .alias("text"))
+    return docs.select("doc_id", "text").unionByName(dup)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return TD.ngram_jaccard_pairs(_docs_with_near_dups(spark, sf_dir),
+                                  n=3, threshold=0.8)
+
+
+_SQL_NEARDUP_DOCS = """
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 100000, text || ' tail words' FROM documents
+  WHERE doc_id < 40
+"""
+
+_SQL_SHINGLES = f"""
+  SELECT id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 0)),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM (SELECT id, {_TOKS.format(x='text')} AS toks FROM un)
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH un AS ({_SQL_NEARDUP_DOCS}),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(ni * 1.0 / (sa.n + sb.n - ni), 3) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 3) >= 0.8
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return TD.minhash_signatures(docs, num_hashes=4, n=3)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH un AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 100),
+sh AS ({_SQL_SHINGLES})
+SELECT id,
+  min({_H32.format(x="'0#' || shingle")}) AS mh0,
+  min({_H32.format(x="'1#' || shingle")}) AS mh1,
+  min({_H32.format(x="'2#' || shingle")}) AS mh2,
+  min({_H32.format(x="'3#' || shingle")}) AS mh3
+FROM sh GROUP BY id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(F.col("doc_id").alias("id"),
+                       T.simhash16("text").alias("simhash"))
+
+
+_SIMHASH_BITS = "\n".join(
+    f"  sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j},"
+    for j in range(16))
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_TOKS.format(x='text')}) AS tok
+  FROM documents WHERE doc_id < 200),
+h AS (SELECT id, {_H32.format(x='tok')} AS hv FROM toks),
+bits AS (SELECT id,
+{_SIMHASH_BITS}
+  1 AS _dummy
+FROM h GROUP BY id)
+SELECT id, {_SIMHASH_SUM} AS simhash FROM bits
+"""
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _embs_with_twins(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    twins = embs.select((F.col("vec_id") + 10000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * 2.0)
+                        .alias("embedding"))
+    return embs.select("vec_id", "embedding").unionByName(twins)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return SIM.cosine_near_dup_pairs(_embs_with_twins(spark, sf_dir),
+                                     threshold=0.9999)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH un AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> x * 2.0)
+  FROM embeddings WHERE vec_id < 60)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+FROM un a JOIN un b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9999
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    c = embs.filter(F.col("vec_id") < 200)
+    return SIM.brute_force_topk(q, c, k=3)
+
+
+SQL_ANN_TOPK = """
+SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_cosine_similarity(q.embedding, c.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id < 200)
+WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# streaming/event-time
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (EV.sessionize(ev, gap_minutes=30)
+            .select("user_id", "session_id", "n_events", "sum_value"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END
+         AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_hourly_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (EV.hourly_rollup(ev)
+            .select(F.col("hour").cast("string").alias("hour"),
+                    "event_type", "n_events", "sum_value", "n_users"))
+
+
+SQL_HOURLY_ROLLUP = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# flagship: composed frontier admission (canonicalize → dedup → anti-join →
+# regex filter → per-host politeness rank) — entry() runs this
+# ---------------------------------------------------------------------------
+
+def q_frontier_admission(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    url = F.concat(F.lit("http://shop"),
+                   (F.col("l_orderkey") % 7).cast("string"),
+                   F.lit(".test/order/"), F.col("l_orderkey").cast("string"))
+    cand = li.select(F.col("l_orderkey").alias("key"),
+                     url.alias("url_norm"),
+                     F.concat(F.lit("shop"),
+                              (F.col("l_orderkey") % 7).cast("string"),
+                              F.lit(".test")).alias("host"),
+                     F.col("l_linenumber").alias("pos"))
+    # first-occurrence-wins within the batch (F8)
+    first = (cand.groupBy("key", "url_norm", "host")
+             .agg(F.min("pos").alias("pos")))
+    # deny regex (F4): reject order keys ending in 00
+    filtered = first.filter(~F.col("url_norm").rlike("/order/.*00$"))
+    # visited anti-join (F8): every 5th key already seen
+    admitted = filtered.filter(F.col("key") % 5 != 0)
+    # per-host politeness rank (D5/D6): budget 10 per host
+    w = Window.partitionBy("host").orderBy("pos", "key")
+    return (admitted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("url_norm", "host", "rn"))
+
+
+SQL_FRONTIER_ADMISSION = """
+WITH first AS (
+  SELECT l_orderkey AS key,
+         'http://shop' || CAST(l_orderkey % 7 AS VARCHAR) ||
+         '.test/order/' || CAST(l_orderkey AS VARCHAR) AS url_norm,
+         'shop' || CAST(l_orderkey % 7 AS VARCHAR) || '.test' AS host,
+         min(l_linenumber) AS pos
+  FROM lineitem GROUP BY 1, 2, 3),
+admitted AS (
+  SELECT * FROM first
+  WHERE NOT regexp_matches(url_norm, '/order/.*00$') AND key % 5 <> 0)
+SELECT url_norm, host,
+       row_number() OVER (PARTITION BY host ORDER BY pos, key) AS rn
+FROM admitted
+QUALIFY rn <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks): image payload + full BFS crawl
+# ---------------------------------------------------------------------------
+
+def q_image_decode_validate(spark, sf_dir):
+    """input_hint decode/validate over the generated corpus (the testdata
+    has no binary image table; generation is seeded + deterministic)."""
+    from roddy_spark.operators.images import decode_validate
+    from roddy_spark.sources.corpus import corpus_df
+    corpus = corpus_df(spark, 48, seed=42, partitions=4)
+    return (decode_validate(corpus)
+            .select("image_id", "fmt", "dims_ok", "phash_ok",
+                    F.round("mean_luma", 2).alias("mean_luma")))
+
+
+def q_phash_neardup(spark, sf_dir):
+    from roddy_spark.operators.images import phash_near_duplicates
+    from roddy_spark.sources.corpus import corpus_df
+    corpus = corpus_df(spark, 48, seed=42, partitions=4).select(
+        "image_id", "phash")
+    twin = corpus.select(F.concat(F.col("image_id"), F.lit("_b"))
+                         .alias("image_id"), "phash")
+    return phash_near_duplicates(corpus.unionByName(twin), max_hamming=4)
+
+
+def q_crawl_bfs(spark, sf_dir):
+    """The full iterative BFS crawl on a seeded synthetic web — equivalence
+    vs the reference-semantics oracle is pinned by tests/test_crawl_e2e.py;
+    here the driver records the deterministic (url, depth, seq) output."""
+    import tempfile
+
+    from roddy_spark.config import CrawlConfig
+    from roddy_spark.plans.crawl import Crawler
+    from roddy_spark.sources.synthweb import WebConfig, synthweb_df
+    cfg = WebConfig(n_hosts=2, n_pages=60, n_corpus=20)
+    pages = synthweb_df(spark, cfg, partitions=2)
+    with tempfile.TemporaryDirectory() as ckpt:
+        state = Crawler(spark, CrawlConfig(max_depth=3, per_host_budget=8),
+                        pages, ckpt).run(["http://h0.test/"])
+        df = state.visited(spark).select("url_norm", "depth", "seq")
+        df = spark.createDataFrame(df.collect(), df.schema)  # detach from ckpt
+    return df
+
+
+QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "url_host_hash": q_url_host_hash,
+    "visited_antijoin": q_visited_antijoin,
+    "first_occurrence": q_first_occurrence,
+    "politeness_rank": q_politeness_rank,
+    "politeness_deferred": q_politeness_deferred,
+    "frontier_topk": q_frontier_topk,
+    "bfs_expand": q_bfs_expand,
+    "domain_filter": q_domain_filter,
+    "salted_agg": q_salted_agg,
+    "crawl_metrics": q_crawl_metrics,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "sessionize": q_sessionize,
+    "hourly_rollup": q_hourly_rollup,
+    "frontier_admission": q_frontier_admission,
+    "image_decode_validate": q_image_decode_validate,
+    "phash_neardup": q_phash_neardup,
+    "crawl_bfs": q_crawl_bfs,
+}
+
+ORACLES = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_host_hash": SQL_URL_HOST_HASH,
+    "visited_antijoin": SQL_VISITED_ANTIJOIN,
+    "first_occurrence": SQL_FIRST_OCCURRENCE,
+    "politeness_rank": SQL_POLITENESS_RANK,
+    "politeness_deferred": SQL_POLITENESS_DEFERRED,
+    "frontier_topk": SQL_FRONTIER_TOPK,
+    "bfs_expand": SQL_BFS_EXPAND,
+    "domain_filter": SQL_DOMAIN_FILTER,
+    "salted_agg": SQL_SALTED_AGG,
+    "crawl_metrics": SQL_CRAWL_METRICS,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "simhash": SQL_SIMHASH,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_topk": SQL_ANN_TOPK,
+    "sessionize": SQL_SESSIONIZE,
+    "hourly_rollup": SQL_HOURLY_ROLLUP,
+    "frontier_admission": SQL_FRONTIER_ADMISSION,
+    # image_decode_validate / phash_neardup / crawl_bfs: rows-only
+    # (binary decode + iterative multi-job loop are not SQL-expressible)
+}

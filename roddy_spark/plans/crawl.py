@@ -235,7 +235,10 @@ class Crawler:
             candidates = store.read(spark, "candidates", batch)
             pending = store.read(spark, "pending", batch)
             visited = store.read(spark, "visited")
-            bloom = self._build_bloom(visited)
+            n_cand = candidates.count() if candidates is not None else 0
+            n_pending = pending.count() if pending is not None else 0
+            bloom = (self._build_bloom(visited)
+                     if self._bloom_active(admitted_count) else None)
         else:
             if seeds is None:
                 raise ValueError("seeds required for a fresh crawl")
@@ -243,65 +246,90 @@ class Crawler:
             admitted_count = success_count = 0
             batches = []
             candidates = self._seed_candidates(seeds)
+            n_cand = candidates.count()
             pending = None
+            n_pending = 0
             visited = None
-            bloom = Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+            bloom = (Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+                     if self._bloom_active(0) else None)
             store.commit_manifest({
                 "completed_batch": 0, "admitted_count": 0,
                 "success_count": 0, "batches": [], "done": False,
                 "config": repr(cfg)})
 
         import numpy as np
+        from pyspark.sql import Observation
 
         while batch < self.max_batches:
             batch += 1
             t0 = time.time()
-            n_cand = candidates.count() if candidates is not None else 0
-            n_pending = pending.count() if pending is not None else 0
             if n_cand == 0 and n_pending == 0:
                 break
             if cfg.max_responses and success_count >= cfg.max_responses:
                 break
 
-            # 1. admission (+ mark-at-admission: persist BEFORE fetching)
+            # 1. admission (+ mark-at-admission: persist BEFORE fetching).
+            # Row counts ride along as write-time Observations — no extra
+            # count jobs anywhere in the loop.
             if n_cand:
                 admitted = admit(candidates, cfg, visited, bloom,
                                  self.robots_map, admitted_count)
-                store.write(admitted.withColumn("batch", F.lit(batch)),
+                obs_adm = Observation(f"adm_{batch}")
+                store.write(admitted.observe(obs_adm,
+                                             F.count(F.lit(1)).alias("n"))
+                            .withColumn("batch", F.lit(batch)),
                             "visited", batch)
                 release_rank_caches()
                 admitted = store.read(spark, "visited", batch).drop("batch")
-                delta = [r[0] for r in admitted.select("url_hash").collect()]
-                bloom.add(np.asarray(delta, dtype=np.int64))
-                n_admitted = len(delta)
+                n_admitted = int(obs_adm.get["n"])
                 admitted_count += n_admitted
+                if bloom is None and self._bloom_active(admitted_count):
+                    bloom = self._build_bloom(store.read(spark, "visited"))
+                elif bloom is not None and n_admitted:
+                    # per-micro-batch delta merge (sandbox: driver collect;
+                    # at 10^10: distributed per-shard OR-reduce instead)
+                    delta = [r[0] for r in
+                             admitted.select("url_hash").collect()]
+                    bloom.add(np.asarray(delta, dtype=np.int64))
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
 
-            # 2. politeness: pending ∪ newly admitted → fetch now vs defer
-            pool = admitted if pending is None else (
-                pending.select(*admitted.columns).unionByName(admitted))
-            to_fetch, deferred = politeness_split(
-                pool, cfg.per_host_budget, cfg.salt_buckets)
-            store.write(deferred, "pending", batch)
+            # 2. politeness: pending ∪ newly admitted → fetch now vs defer.
+            # With no per-host budget nothing is ever deferred — skip the
+            # pending table's IO entirely.
+            obs_def = None
+            if cfg.per_host_budget:
+                pool = admitted if pending is None else (
+                    pending.select(*admitted.columns).unionByName(admitted))
+                to_fetch, deferred = politeness_split(
+                    pool, cfg.per_host_budget, cfg.salt_buckets)
+                obs_def = Observation(f"def_{batch}")
+                store.write(deferred.observe(
+                    obs_def, F.count(F.lit(1)).alias("n")), "pending", batch)
+            else:
+                to_fetch = admitted
 
             # 3. fetch (the admitted rows are already durably visited)
-            fetched = self.fetcher(to_fetch, self.pages).withColumn(
-                "batch", F.lit(batch))
+            obs_f = Observation(f"fetch_{batch}")
+            fetched = (self.fetcher(to_fetch, self.pages)
+                       .withColumn("batch", F.lit(batch))
+                       .observe(obs_f, F.count(F.lit(1)).alias("n"),
+                                F.sum(F.col("success").cast("long"))
+                                .alias("ok")))
             store.write(fetched, "fetches", batch)
             fetched = store.read(spark, "fetches", batch)
+            n_fetched = int(obs_f.get["n"])
+            n_ok = int(obs_f.get["ok"] or 0)
+            success_count += n_ok
 
             # 4. expansion → next batch's candidates
-            store.write(expand(fetched), "candidates", batch)
+            obs_c = Observation(f"cand_{batch}")
+            store.write(expand(fetched).observe(
+                obs_c, F.count(F.lit(1)).alias("n")), "candidates", batch)
+            n_next = int(obs_c.get["n"])
 
             # 5. metrics + snapshot commit
-            stats = (fetched.agg(
-                F.count("*").alias("fetched"),
-                F.sum(F.col("success").cast("long")).alias("ok")).collect()[0])
-            n_fetched = stats["fetched"]
-            n_ok = int(stats["ok"] or 0)
-            success_count += n_ok
             batches.append({
                 "batch": batch, "candidates": n_cand, "admitted": n_admitted,
                 "fetched": n_fetched, "success": n_ok,
@@ -314,10 +342,20 @@ class Crawler:
 
             # 6. roll state (re-read from disk: plan truncation)
             candidates = store.read(spark, "candidates", batch)
-            pending = store.read(spark, "pending", batch)
+            n_cand = n_next
+            if cfg.per_host_budget:
+                pending = store.read(spark, "pending", batch)
+                n_pending = int(obs_def.get["n"]) if obs_def else 0
             visited = store.read(spark, "visited")
 
         final = store.manifest() or {}
         final["done"] = True
         store.commit_manifest(final)
         return CrawlState(store, batches, admitted_count, success_count)
+
+    def _bloom_active(self, visited_count: int) -> bool:
+        if self.config.bloom_mode == "on":
+            return True
+        if self.config.bloom_mode == "off":
+            return False
+        return visited_count >= self.config.bloom_min_visited

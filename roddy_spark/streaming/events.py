@@ -49,11 +49,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     since the previous event exceeds ``gap_minutes``. Classic lag + running
     sum — one shuffle on user_id, windows stay partition-local."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps may load as TIMESTAMP_NTZ, which has no direct
-    # bigint cast — hop through timestamp (session tz is pinned to UTC)
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # microsecond-exact gap (second-truncated casts would misclassify gaps
+    # that straddle the boundary by sub-second amounts); NTZ needs the hop
+    # through timestamp (session tz pinned to UTC)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    starts = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    starts = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                    1).otherwise(0)
     sess = (events
             .withColumn("is_start", starts)
             .withColumn("session_id",

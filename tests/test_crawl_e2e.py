@@ -40,6 +40,10 @@ CONFIGS = {
                 ["http://h0.test", "http://h0.test/"]),
     "deep_full": (CrawlConfig(max_depth=4, per_host_budget=7),
                   ["http://h0.test/"]),
+    # force the broadcast-bloom prefilter on (auto only kicks in at 50k
+    # visited) so the bloom → anti-join path is oracle-verified end-to-end
+    "bloom_forced": (CrawlConfig(max_depth=3, bloom_mode="on"),
+                     ["http://h0.test/"]),
 }
 
 
