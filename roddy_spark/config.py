@@ -31,6 +31,12 @@ class CrawlConfig:
     max_depth: int = 0                 # 0 = unlimited (roddy MaxDepth)
     max_requests: int = 0              # 0 = unlimited admitted-request budget
     max_responses: int = 0             # 0 = unlimited successful fetches
+    # F11 (metric.go:5-24, roddy.go:235-238): stop following rel="next"
+    # paging links once this many paging-priority pages were fetched
+    max_page_num: int = 0
+    # F12 (roddy.go:332-345, collector.go:113-131): error labels treated as
+    # non-errors ('http_404' etc. → error_effective NULL in fetch results)
+    ignored_errors: tuple[str, ...] = ()
     allowed_domains: tuple[str, ...] = ()
     disallowed_domains: tuple[str, ...] = ()
     url_filters: tuple[str, ...] = ()            # allow regexes (F5)

@@ -31,7 +31,8 @@ from roddy_spark.robots import robots_allowed
 def admit(candidates: DataFrame, config: CrawlConfig,
           visited: DataFrame | None, bloom=None,
           robots_map: dict | None = None,
-          admitted_so_far: int = 0) -> DataFrame:
+          admitted_so_far: int = 0,
+          num_partitions: int | None = None) -> DataFrame:
     """Apply the full admission chain; returns admitted rows with ``seq``
     (global discovery rank, continuing from ``admitted_so_far``).
 
@@ -93,16 +94,19 @@ def admit(candidates: DataFrame, config: CrawlConfig,
 
     # deterministic global discovery order (the crawl-ordering contract)
     df = ordered_seq(df, ["priority", "parent_seq", "pos"], "seq",
-                     start=admitted_so_far)
+                     start=admitted_so_far, num_partitions=num_partitions)
 
     # F3: ordered admission budget — admissions beyond the global
     # max_requests cap are rejected (and NOT visited-marked)
     if config.max_requests:
         df = df.filter(F.col("seq") < config.max_requests)
 
-    return df.select("url_norm",
-                     F.col("url_hash").cast("long").alias("url_hash"),
-                     "host",
-                     F.col("depth").cast("int").alias("depth"),
-                     F.col("priority").cast("int").alias("priority"),
-                     F.col("seq").cast("long").alias("seq"))
+    cols = [F.col("url_norm"),
+            F.col("url_hash").cast("long").alias("url_hash"),
+            F.col("host"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("priority").cast("int").alias("priority"),
+            F.col("seq").cast("long").alias("seq")]
+    if "ctx" in df.columns:  # Context propagation (context.go:8-52)
+        cols.append(F.col("ctx"))
+    return df.select(*cols)

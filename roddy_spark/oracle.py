@@ -55,6 +55,9 @@ class OracleResult:
     visited_hashes: set[int] = field(default_factory=set)
     rejected: dict[str, int] = field(default_factory=dict)
     batches: list[dict] = field(default_factory=list)
+    # url_norm → inherited Context map at admission (context.go:8-52)
+    ctx_by_url: dict = field(default_factory=dict)
+    paging_count: int = 0
 
     @property
     def visited_urls(self) -> set[str]:
@@ -65,10 +68,10 @@ class OracleResult:
         return [a[0] for a in sorted(self.admitted, key=lambda a: a[2])]
 
 
-def crawl_oracle(pages: dict[str, dict], seeds: list[str],
+def crawl_oracle(pages: dict[str, dict], seeds: list,
                  config: CrawlConfig,
                  robots_rows: list[tuple[str, str]] | None = None,
-                 max_batches: int = 200) -> OracleResult:
+                 max_batches: int = 200, on_request=None) -> OracleResult:
     """pages: url_norm → {status:int, content_type:str, base_href:str|None,
     links:[{href,text,pos,rel}]} (the synthetic-web table, collected)."""
     res = OracleResult()
@@ -82,23 +85,25 @@ def crawl_oracle(pages: dict[str, dict], seeds: list[str],
     def reject(reason: str) -> None:
         res.rejected[reason] = res.rejected.get(reason, 0) + 1
 
-    # candidates: (priority, parent_seq, pos, url_norm, depth)
+    # candidates: (priority, parent_seq, pos, url_norm, depth, ctx)
     candidates = []
     for i, s in enumerate(seeds):
-        u = canonicalize_url(s)
+        raw, ctx = (s, None) if isinstance(s, str) else (s[0], s[1])
+        u = canonicalize_url(raw)
         if u is None:
             reject("unparseable")
             continue
-        candidates.append((PRIORITY_CHILD, i, 0, u, 1))
-    deferred: list[tuple[str, int, int, int]] = []  # (url, depth, prio, seq)
+        candidates.append((PRIORITY_CHILD, i, 0, u, 1, ctx))
+    # (url, depth, prio, seq, ctx)
+    deferred: list[tuple[str, int, int, int, dict | None]] = []
 
     batch_id = 0
     while (candidates or deferred) and batch_id < max_batches:
         batch_id += 1
         # --- admission (sequential, in candidate order) -------------------
         candidates.sort(key=lambda c: (c[0], c[1], c[2]))
-        newly_admitted: list[tuple[str, int, int, int]] = []
-        for prio, _parent_seq, _pos, url, depth in candidates:
+        newly_admitted: list[tuple[str, int, int, int, dict | None]] = []
+        for prio, _parent_seq, _pos, url, depth, ctx in candidates:
             if config.max_depth and depth > config.max_depth:
                 reject("max_depth")
                 continue
@@ -128,31 +133,46 @@ def crawl_oracle(pages: dict[str, dict], seeds: list[str],
                 reject("visited")
                 continue
             res.visited_hashes.add(h)       # mark AT admission
+            res.ctx_by_url[url] = ctx
             admitted_count += 1
             seq = seq_counter
             seq_counter += 1
             res.admitted.append((url, depth, seq, host))
-            newly_admitted.append((url, depth, prio, seq))
+            newly_admitted.append((url, depth, prio, seq, ctx))
         candidates = []
 
         # --- politeness: per-host budget, deferral carries over -----------
         pool = deferred + newly_admitted
         pool.sort(key=lambda r: (r[2], r[3]))  # (priority, seq)
-        to_fetch: list[tuple[str, int, int, int]] = []
+        to_fetch: list[tuple[str, int, int, int, dict | None]] = []
         deferred = []
         per_host: dict[str, int] = {}
-        for url, depth, prio, seq in pool:
+        for url, depth, prio, seq, ctx in pool:
             host = url_host(url) or ""
             n = per_host.get(host, 0)
             if config.per_host_budget and n >= config.per_host_budget:
-                deferred.append((url, depth, prio, seq))
+                deferred.append((url, depth, prio, seq, ctx))
             else:
                 per_host[host] = n + 1
-                to_fetch.append((url, depth, prio, seq))
+                to_fetch.append((url, depth, prio, seq, ctx))
 
-        # --- fetch + extract ----------------------------------------------
+        # --- OnRequest hook: abort between admission and fetch ------------
+        n_aborted = 0
+        if on_request is not None:
+            kept = []
+            for row in to_fetch:
+                if on_request(row[0], row[1], row[4]):
+                    kept.append(row)
+                else:
+                    n_aborted += 1
+            to_fetch = kept
+
+        # --- fetch (extraction deferred so the paging gate sees the whole
+        # batch's paging successes, matching the engine's batch semantics) --
         n_success = n_failure = 0
-        for url, depth, prio, seq in sorted(to_fetch, key=lambda r: r[3]):
+        to_extract = []
+        for url, depth, prio, seq, ctx in sorted(to_fetch,
+                                                 key=lambda r: r[3]):
             page = pages.get(url)
             status = page["status"] if page else 404
             ok = page is not None and status < 400
@@ -162,12 +182,20 @@ def crawl_oracle(pages: dict[str, dict], seeds: list[str],
             if ok:
                 n_success += 1
                 success_count += 1
+                if prio == PRIORITY_PAGING:
+                    res.paging_count += 1
             else:
                 n_failure += 1
                 continue
             if page["content_type"] != "text/html" and not (
                     300 <= status < 400):
                 continue
+            to_extract.append((url, depth, seq, ctx, page))
+
+        # --- extract: children inherit ctx; paging gated by F11 -----------
+        allow_paging = not (config.max_page_num
+                            and res.paging_count >= config.max_page_num)
+        for url, depth, seq, ctx, page in to_extract:
             # <base href> may itself be relative → resolve against page URL
             base = url
             if page.get("base_href"):
@@ -177,11 +205,12 @@ def crawl_oracle(pages: dict[str, dict], seeds: list[str],
                 if child is None:
                     continue
                 if link.get("rel") == "next":
-                    candidates.append(
-                        (PRIORITY_PAGING, seq, link["pos"], child, depth))
+                    if allow_paging:
+                        candidates.append((PRIORITY_PAGING, seq, link["pos"],
+                                           child, depth, ctx))
                 else:
-                    candidates.append(
-                        (PRIORITY_CHILD, seq, link["pos"], child, depth + 1))
+                    candidates.append((PRIORITY_CHILD, seq, link["pos"],
+                                       child, depth + 1, ctx))
 
         res.batches.append({"batch": batch_id, "fetched": len(to_fetch),
                             "success": n_success, "failure": n_failure,

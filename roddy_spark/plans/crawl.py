@@ -34,8 +34,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (IntegerType, LongType, MapType, StringType,
+                               StructField, StructType)
 
 from roddy_spark.config import CrawlConfig
 from roddy_spark.extract import parse_html_udf
@@ -55,6 +55,8 @@ CANDIDATE_SCHEMA = StructType([
     StructField("priority", IntegerType()),
     StructField("parent_seq", LongType()),
     StructField("pos", IntegerType()),
+    # reference Context (context.go:8-52): parent→child propagated user map
+    StructField("ctx", MapType(StringType(), StringType())),
 ])
 
 
@@ -115,9 +117,20 @@ class CrawlState:
     def fetches(self, spark: SparkSession) -> DataFrame:
         return self.store.read(spark, "fetches")
 
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read(spark, "metrics")
+
     def order(self, spark: SparkSession) -> list[str]:
         return [r["url_norm"] for r in
                 self.visited(spark).orderBy("seq").collect()]
+
+    def export_visited(self, spark: SparkSession, path: str,
+                       fmt: str = "csv") -> None:
+        """K4/K5 sink analog (examples/xkcd_store, examples/blindkr)."""
+        df = self.visited(spark).drop("ctx") if fmt == "csv" else \
+            self.visited(spark)
+        df.write.mode("overwrite").format(fmt).option(
+            "header", "true").save(path)
 
 
 def _empty_visited(spark: SparkSession) -> DataFrame:
@@ -128,14 +141,19 @@ def _empty_visited(spark: SparkSession) -> DataFrame:
         StructField("depth", IntegerType()),
         StructField("priority", IntegerType()),
         StructField("seq", LongType()),
+        StructField("ctx", MapType(StringType(), StringType())),
     ]))
 
 
-def expand(fetched: DataFrame) -> DataFrame:
+def expand(fetched: DataFrame, allow_paging: bool = True) -> DataFrame:
     """Fetched pages → next-batch candidates (SURVEY.md S4/S7/S8):
     parse HTML, explode anchors, resolve against the effective <base href>,
     canonicalize; rel="next" links keep the parent's depth at paging
-    priority (request.go:98-105 semantics), others go to depth+1."""
+    priority (request.go:98-105 semantics), others go to depth+1. Children
+    inherit the parent's Context map (request.go:94-96). When the paging
+    budget (max_page_num, F11) is exhausted the caller passes
+    ``allow_paging=False`` and rel="next" links are dropped — the analog of
+    roddy skipping OnPaging callbacks past maxPageNum (roddy.go:235-238)."""
     html = fetched.filter(
         F.col("success") & ((F.col("content_type") == "text/html")
                             | ((F.col("status") >= 300)
@@ -146,8 +164,11 @@ def expand(fetched: DataFrame) -> DataFrame:
                       F.col("url_norm"))
     links = (parsed
              .withColumn("base", base)
-             .select("url_norm", "depth", "seq", "base",
+             .select("url_norm", "depth", "seq", "base", "ctx",
                      F.explode("parsed.links").alias("link")))
+    if not allow_paging:
+        links = links.filter(F.coalesce(F.col("link.rel"), F.lit(""))
+                             != "next")
     child = U.resolve(F.col("base"), F.col("link.href"))
     out = (links
            .withColumn("child", child)
@@ -159,7 +180,8 @@ def expand(fetched: DataFrame) -> DataFrame:
                F.when(F.col("link.rel") == "next", F.lit(PRIORITY_PAGING))
                 .otherwise(F.lit(PRIORITY_CHILD)).cast("int").alias("priority"),
                F.col("seq").alias("parent_seq"),
-               F.col("link.pos").alias("pos")))
+               F.col("link.pos").alias("pos"),
+               F.col("ctx")))
     return out
 
 
@@ -185,7 +207,8 @@ class Crawler:
     def __init__(self, spark: SparkSession, config: CrawlConfig,
                  pages: DataFrame, checkpoint_dir: str,
                  robots_map: dict | None = None, fetcher=fetch_join,
-                 max_batches: int = 200):
+                 max_batches: int = 200, on_request=None,
+                 write_metrics: bool = True):
         self.spark = spark
         self.config = config
         self.pages = pages
@@ -193,21 +216,33 @@ class Crawler:
         self.robots_map = robots_map or {}
         self.fetcher = fetcher
         self.max_batches = max_batches
+        # OnRequest hook (roddy.go:360-370 / abort, roddy.go:206-208): a
+        # DataFrame→DataFrame transform applied between admission and fetch;
+        # rows it filters out are ABORTED — they stay visited, never fetch
+        self.on_request = on_request
+        self.write_metrics = write_metrics
 
     # -- state helpers -------------------------------------------------
-    def _seed_candidates(self, seeds: list[str]) -> DataFrame:
+    def _seed_candidates(self, seeds: list) -> DataFrame:
+        """seeds: list of url strings or (url, ctx_dict) pairs — the ctx map
+        is the reference's Context, inherited by all descendants."""
         rows = []
         for i, s in enumerate(seeds):
-            rows.append((s, 1, PRIORITY_CHILD, i, 0))
-        df = self.spark.createDataFrame(rows, ["raw_url", "depth", "priority",
-                                               "parent_seq", "pos"])
+            url, ctx = (s, None) if isinstance(s, str) else (s[0], s[1])
+            rows.append((url, 1, PRIORITY_CHILD, i, 0, ctx))
+        df = self.spark.createDataFrame(
+            rows, StructType([
+                StructField("raw_url", StringType()),
+                StructField("depth", IntegerType()),
+                StructField("priority", IntegerType()),
+                StructField("parent_seq", LongType()),
+                StructField("pos", IntegerType()),
+                StructField("ctx", MapType(StringType(), StringType())),
+            ]))
         return (df.withColumn("url_norm", U.canonicalize("raw_url"))
                   .filter(F.col("url_norm").isNotNull())
-                  .select("url_norm",
-                          F.col("depth").cast("int").alias("depth"),
-                          F.col("priority").cast("int").alias("priority"),
-                          F.col("parent_seq").cast("long").alias("parent_seq"),
-                          F.col("pos").cast("int").alias("pos")))
+                  .select("url_norm", "depth", "priority", "parent_seq",
+                          "pos", "ctx"))
 
     def _build_bloom(self, visited: DataFrame | None) -> Bloom:
         bloom = Bloom(self.config.bloom_capacity, self.config.bloom_fpp)
@@ -231,6 +266,7 @@ class Crawler:
             batch = m["completed_batch"]
             admitted_count = m["admitted_count"]
             success_count = m["success_count"]
+            paging_count = m.get("paging_count", 0)
             batches = m["batches"]
             candidates = store.read(spark, "candidates", batch)
             pending = store.read(spark, "pending", batch)
@@ -243,7 +279,7 @@ class Crawler:
             if seeds is None:
                 raise ValueError("seeds required for a fresh crawl")
             batch = 0
-            admitted_count = success_count = 0
+            admitted_count = success_count = paging_count = 0
             batches = []
             candidates = self._seed_candidates(seeds)
             n_cand = candidates.count()
@@ -273,7 +309,8 @@ class Crawler:
             # count jobs anywhere in the loop.
             if n_cand:
                 admitted = admit(candidates, cfg, visited, bloom,
-                                 self.robots_map, admitted_count)
+                                 self.robots_map, admitted_count,
+                                 num_partitions=self._width(n_cand))
                 obs_adm = Observation(f"adm_{batch}")
                 store.write(admitted.observe(obs_adm,
                                              F.count(F.lit(1)).alias("n"))
@@ -310,23 +347,51 @@ class Crawler:
             else:
                 to_fetch = admitted
 
-            # 3. fetch (the admitted rows are already durably visited)
+            # 2b. OnRequest hook — abort between admission and fetch
+            if self.on_request is not None:
+                to_fetch = self.on_request(to_fetch)
+
+            # 3. fetch (the admitted rows are already durably visited);
+            # error classification per F12 (ignored errors → NULL effective)
             obs_f = Observation(f"fetch_{batch}")
             fetched = (self.fetcher(to_fetch, self.pages)
-                       .withColumn("batch", F.lit(batch))
-                       .observe(obs_f, F.count(F.lit(1)).alias("n"),
-                                F.sum(F.col("success").cast("long"))
-                                .alias("ok")))
+                       .withColumn("batch", F.lit(batch)))
+            err = F.when(F.col("success"), F.lit(None)).otherwise(
+                F.concat(F.lit("http_"), F.col("status").cast("string")))
+            fetched = fetched.withColumn("error", err).withColumn(
+                "error_effective",
+                F.when(err.isin(*cfg.ignored_errors), F.lit(None))
+                 .otherwise(err) if cfg.ignored_errors else err)
+            fetched = fetched.observe(
+                obs_f, F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+                F.sum(((F.col("priority") == PRIORITY_PAGING)
+                       & F.col("success")).cast("long")).alias("paging"))
+            # fetches feed the HTML-parse stage next — size its width to the
+            # batch (AQE would coalesce 2KB-html batches into ONE partition;
+            # tiny batches would otherwise fan out to full cluster width)
+            fetched = fetched.repartition(
+                self._width(max(n_admitted, n_pending), 5_000))
             store.write(fetched, "fetches", batch)
             fetched = store.read(spark, "fetches", batch)
             n_fetched = int(obs_f.get["n"])
             n_ok = int(obs_f.get["ok"] or 0)
             success_count += n_ok
+            paging_count += int(obs_f.get["paging"] or 0)
 
-            # 4. expansion → next batch's candidates
+            # 3b. per-partition lineage + fetch metrics (SURVEY.md D10)
+            if self.write_metrics:
+                from roddy_spark.streaming.events import fetch_rate_metrics
+                store.write(fetch_rate_metrics(fetched), "metrics", batch)
+
+            # 4. expansion → next batch's candidates (paging gated by F11)
+            allow_paging = not (cfg.max_page_num
+                                and paging_count >= cfg.max_page_num)
             obs_c = Observation(f"cand_{batch}")
-            store.write(expand(fetched).observe(
-                obs_c, F.count(F.lit(1)).alias("n")), "candidates", batch)
+            store.write(expand(fetched, allow_paging)
+                        .repartition(self._width(n_fetched * 8))
+                        .observe(obs_c, F.count(F.lit(1)).alias("n")),
+                        "candidates", batch)
             n_next = int(obs_c.get["n"])
 
             # 5. metrics + snapshot commit
@@ -337,7 +402,8 @@ class Crawler:
                 "secs": round(time.time() - t0, 3)})
             store.commit_manifest({
                 "completed_batch": batch, "admitted_count": admitted_count,
-                "success_count": success_count, "batches": batches,
+                "success_count": success_count,
+                "paging_count": paging_count, "batches": batches,
                 "done": False, "config": repr(cfg)})
 
             # 6. roll state (re-read from disk: plan truncation)
@@ -359,3 +425,14 @@ class Crawler:
         if self.config.bloom_mode == "off":
             return False
         return visited_count >= self.config.bloom_min_visited
+
+    def _width(self, rows: int, rows_per_partition: int = 20_000) -> int:
+        """Partition count sized to the data, capped at cluster width.
+
+        A frontier batch is often far smaller than the cluster; running its
+        pandas-UDF stages at full shuffle width just multiplies fixed
+        per-task Arrow/python overhead (measured 4x slowdown at local[32]
+        on 2k-row batches). Counts are free — they ride on the previous
+        batch's write Observations."""
+        cores = self.spark.sparkContext.defaultParallelism
+        return max(1, min(cores, rows // rows_per_partition + 1))

@@ -21,6 +21,7 @@ the Python oracle consume this same table, so equivalence is well-defined.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -93,6 +94,14 @@ class WebConfig:
         return self.offsets()[-1]
 
 
+@lru_cache(maxsize=16)
+def _cached_layout(cfg: "WebConfig") -> tuple[list[int], np.ndarray]:
+    """(host_sizes, offsets-as-ndarray) — memoized; page_record is called
+    per ROW during distributed generation, so the O(n_hosts) layout math
+    must not be recomputed 10^5 times per partition."""
+    return cfg.host_sizes(), np.asarray(cfg.offsets())
+
+
 def _host(k: int) -> str:
     return f"h{k}.test"
 
@@ -126,7 +135,7 @@ def _render_html(title: str, base_href: str | None, descriptions: list[str],
 def page_record(cfg: WebConfig, k: int, local: int) -> dict:
     """Pure function → one page row. ``local`` indexes the host's block:
     0..n_tree-1 are the content tree (0 = root), then the fixed routes."""
-    n_tree = cfg.host_sizes()[k]
+    n_tree = _cached_layout(cfg)[0][k]
     B = cfg.branching
     host = _host(k)
     links: list[dict] = []
@@ -182,7 +191,7 @@ def page_record(cfg: WebConfig, k: int, local: int) -> dict:
                 # (mark-at-admission invariant, roddy.go:292-310)
                 add(f"/missing/{j}", "dead link")
         # image refs: 1-3 corpus images, pure function of (k, j)
-        gidx = cfg.offsets()[k] + j
+        gidx = int(_cached_layout(cfg)[1][k]) + j
         for t in range(1 + (j % 3)):
             iid = f"img{(gidx * 3 + t) % max(cfg.n_corpus, 1):08d}"
             image_refs.append({"image_id": iid, "src": f"/img/{iid}.png"})
@@ -234,9 +243,9 @@ def page_record(cfg: WebConfig, k: int, local: int) -> dict:
 
 
 def _locate(cfg: WebConfig, gid: int) -> tuple[int, int]:
-    offs = cfg.offsets()
-    k = int(np.searchsorted(np.asarray(offs), gid, side="right")) - 1
-    return k, gid - offs[k]
+    offs = _cached_layout(cfg)[1]
+    k = int(np.searchsorted(offs, gid, side="right")) - 1
+    return k, gid - int(offs[k])
 
 
 def synthweb_pandas(cfg: WebConfig) -> pd.DataFrame:

@@ -1,0 +1,103 @@
+"""Context propagation (context.go:8-52), max_page_num paging budget
+(metric.go:5-24), OnRequest abort (roddy.go:206-208), and error
+classification (F12) — Spark engine vs oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.oracle import crawl_oracle, pages_dict_from_pandas
+from roddy_spark.plans.crawl import Crawler
+from roddy_spark.sources.synthweb import WebConfig, synthweb_df, synthweb_pandas
+
+WEB = WebConfig(n_hosts=2, n_pages=80, n_corpus=30)
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pdf = synthweb_pandas(WEB)
+    df = synthweb_df(spark, WEB, partitions=2)
+    df.persist().count()
+    yield pages_dict_from_pandas(pdf), df
+    df.unpersist()
+
+
+def test_ctx_inherited_by_descendants(spark, web, tmp_path):
+    pages_dict, pages_df = web
+    seeds = [("http://h0.test/", {"job": "alpha", "user": "u1"})]
+    cfg = CrawlConfig(max_depth=3)
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "ctx")).run(seeds)
+    rows = state.visited(spark).select("url_norm", "ctx").collect()
+    assert len(rows) > 5
+    for r in rows:  # every descendant inherits the seed's ctx
+        assert dict(r["ctx"]) == {"job": "alpha", "user": "u1"}, r["url_norm"]
+    # oracle agrees
+    exp = crawl_oracle(pages_dict, seeds, cfg)
+    assert {r["url_norm"] for r in rows} == exp.visited_urls
+    assert all(exp.ctx_by_url[u] == {"job": "alpha", "user": "u1"}
+               for u in exp.visited_urls)
+
+
+def test_max_page_num_gates_paging(spark, web, tmp_path):
+    pages_dict, pages_df = web
+    cfg = CrawlConfig(max_depth=2, max_page_num=1)
+    seeds = ["http://h0.test/"]
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "pg")).run(seeds)
+    exp = crawl_oracle(pages_dict, seeds, cfg)
+    got = [(r["url_norm"], r["seq"]) for r in
+           state.visited(spark).orderBy("seq").collect()]
+    want = [(u, s) for u, d, s, _ in sorted(exp.admitted, key=lambda a: a[2])]
+    assert got == want
+    vis = {u for u, _ in got}
+    # /list/0 fetched (1st paging page), /list/1 admitted via its next-link
+    # only if budget allows: budget=1 → after /list/0 succeeds the gate
+    # closes, so /list/2 (linked from /list/1) must NOT be crawled
+    assert "http://h0.test/list/0" in vis
+    assert "http://h0.test/list/2" not in vis
+    # unlimited run DOES reach /list/2
+    full = crawl_oracle(pages_dict, seeds, CrawlConfig(max_depth=2))
+    assert "http://h0.test/list/2" in full.visited_urls
+
+
+def test_on_request_abort(spark, web, tmp_path):
+    pages_dict, pages_df = web
+    cfg = CrawlConfig(max_depth=2)
+    seeds = ["http://h0.test/"]
+
+    def spark_hook(df):  # abort any /p/ page fetch (stays visited)
+        return df.filter(~F.col("url_norm").rlike("/p/"))
+
+    def oracle_hook(url, depth, ctx):
+        return "/p/" not in url
+
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "ab"),
+                    on_request=spark_hook).run(seeds)
+    exp = crawl_oracle(pages_dict, seeds, cfg, on_request=oracle_hook)
+    got_fetched = {r["url_norm"] for r in state.fetches(spark).collect()}
+    exp_fetched = {f["url_norm"] for f in exp.fetches}
+    assert got_fetched == exp_fetched
+    assert not any("/p/" in u for u in got_fetched)
+    # aborted URLs are still visited-marked (never retried)
+    got_visited = {r["url_norm"] for r in state.visited(spark).collect()}
+    assert got_visited == exp.visited_urls
+    assert any("/p/" in u for u in got_visited)
+
+
+def test_error_classification_and_ignored(spark, web, tmp_path):
+    _, pages_df = web
+    cfg = CrawlConfig(max_depth=3, ignored_errors=("http_404",))
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "err")).run(
+        ["http://h0.test/"])
+    f = state.fetches(spark)
+    errs = {r["url_norm"]: (r["error"], r["error_effective"])
+            for r in f.filter(~F.col("success")).collect()}
+    assert errs, "expected failed fetches (boom/missing)"
+    for url, (e, eff) in errs.items():
+        if e == "http_404":
+            assert eff is None          # F12: ignored error → effective NULL
+        else:
+            assert eff == e
+    boom = [v for k, v in errs.items() if k.endswith("/boom")]
+    assert boom and boom[0][0] == "http_500"
