@@ -27,13 +27,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_HOSTS = int(os.environ.get("RODDY_BENCH_HOSTS", "40"))
 BENCH_PAGES = int(os.environ.get("RODDY_BENCH_PAGES", "20000"))
-SCALE_CORES_N = int(os.environ.get("RODDY_BENCH_CORES_N", str(max(CPUS // 4, 1))))
 # the scaling pair runs ONE compute-dominated frontier level (admission →
 # politeness → fetch → extract) over a larger web so parallel work, not
 # fixed per-batch overhead, is what's measured (the north rule's criterion
-# is throughput scaling of the frontier job itself)
+# is throughput scaling of the frontier job itself). N=2 vs 4N=8 keeps both
+# runs under-subscribed on the shared 32-core box (local[32] oversubscribes
+# JVM + python workers) and amortizes the driver-serial planning floor.
+SCALE_CORES_N = int(os.environ.get("RODDY_BENCH_CORES_N", "2"))
+SCALE_CORES_4N = int(os.environ.get("RODDY_BENCH_CORES_4N", "8"))
 SCALE_HOSTS = int(os.environ.get("RODDY_SCALE_HOSTS", "64"))
-SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "400000"))
+SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "1200000"))
 
 QUERY_NAMES = [
     "frontier_admission", "visited_antijoin", "first_occurrence",
@@ -94,11 +97,12 @@ def frontier_level_throughput(spark, web_path: str) -> dict:
     from roddy_spark.fetch import fetch_join
 
     pages = spark.read.parquet(web_path)
-    # candidate set: every page URL, uppercased+de-canonicalized (forces the
-    # canonicalizer to work) and duplicated (forces in-batch dedup), with a
-    # deterministic discovery order
+    # candidate set: every page URL with scheme+host de-canonicalized (the
+    # canonicalizer must restore them; PATH case is significant and kept)
+    # and duplicated (forces in-batch dedup), deterministic discovery order
     raw = pages.select(
-        F.upper(F.col("url")).alias("raw_url"),
+        F.concat(F.lit("HTTP://"), F.upper("host"),
+                 F.expr("substr(url, 8 + length(host))")).alias("raw_url"),
         F.lit(2).alias("depth"),
         F.lit(1).alias("priority"),
         F.xxhash64("url").alias("parent_seq"),
@@ -118,7 +122,8 @@ def frontier_level_throughput(spark, web_path: str) -> dict:
     admitted = admit(cand, cfg, visited, None, None, 0)
     to_fetch, _deferred = politeness_split(admitted, cfg.per_host_budget,
                                            cfg.salt_buckets)
-    fetched = fetch_join(to_fetch, pages).withColumn("batch", F.lit(1))
+    fetched = fetch_join(to_fetch, pages,
+                         frontier_rows=400_000).withColumn("batch", F.lit(1))
     children = expand(fetched)
     children.write.format("noop").mode("overwrite").save()
     secs = time.time() - t0
@@ -177,33 +182,47 @@ def main() -> None:
         tempfile.gettempdir(),
         f"roddy_scale_web_{SCALE_HOSTS}x{SCALE_PAGES}")
 
+    # generate both webs + run the per-query timings and BFS-loop bench at
+    # full parallelism first (also fills the OS page cache equally for the
+    # scaling pair that follows)
+    spark = build_session(CPUS)
+    materialize_web(spark, web_path)
+    if not quick:
+        materialize_web(spark, scale_web_path, SCALE_HOSTS, SCALE_PAGES)
+    r_loop = crawl_throughput(spark, web_path)
+    qtimes = run_queries(spark)
+    spark.stop()
+
     scaling = {}
     if not quick:
         # scaling pair: ONE compute-dominated frontier level on identical
-        # input at N and 4N cores (north-rule two-cluster-size criterion)
-        spark_n = build_session(SCALE_CORES_N)
-        materialize_web(spark_n, scale_web_path, SCALE_HOSTS, SCALE_PAGES)
-        fl_n = frontier_level_throughput(spark_n, scale_web_path)
-        spark_n.stop()
-        spark_4n = build_session(CPUS)
-        fl_4n = frontier_level_throughput(spark_4n, scale_web_path)
-        spark_4n.stop()
+        # input at N and 4N cores (north-rule two-cluster-size criterion).
+        # Each level runs twice; the WARM run is reported — steady-state
+        # throughput, with whole-stage-codegen compilation (driver-serial,
+        # identical at any core count) amortized as it is on a long-running
+        # cluster.
+        def pair(cores):
+            s = build_session(cores)
+            cold = frontier_level_throughput(s, scale_web_path)
+            warm = frontier_level_throughput(s, scale_web_path)
+            s.stop()
+            return cold, warm
+
+        cold_n, fl_n = pair(SCALE_CORES_N)
+        cold_4n, fl_4n = pair(SCALE_CORES_4N)
         eff = (fl_4n["throughput_urls_per_sec"]
-               / fl_n["throughput_urls_per_sec"]) / (CPUS / SCALE_CORES_N)
+               / fl_n["throughput_urls_per_sec"]) / (SCALE_CORES_4N
+                                                     / SCALE_CORES_N)
         scaling = {
-            "cores_n": SCALE_CORES_N, "cores_4n": CPUS,
+            "cores_n": SCALE_CORES_N, "cores_4n": SCALE_CORES_4N,
             "level_candidates": fl_n["candidates"],
             "throughput_n": fl_n["throughput_urls_per_sec"],
             "throughput_4n": fl_4n["throughput_urls_per_sec"],
             "secs_n": fl_n["secs"], "secs_4n": fl_4n["secs"],
+            "cold_secs_n": cold_n["secs"], "cold_secs_4n": cold_4n["secs"],
             "efficiency": round(eff, 3),
         }
-
-    spark = build_session(CPUS)
-    materialize_web(spark, web_path)
-    r_4n = crawl_throughput(spark, web_path)
-
-    qtimes = run_queries(spark)
+    r_4n = r_loop
     queries = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -223,7 +242,6 @@ def main() -> None:
         "query_rows": {k[:-5]: v for k, v in qtimes.items()
                        if k.endswith("_rows")},
     }
-    spark.stop()
     print(json.dumps(result))
 
 

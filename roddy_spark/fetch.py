@@ -31,16 +31,44 @@ FETCH_RESULT_EXTRA = StructType([
 ])
 
 
-def fetch_join(to_fetch: DataFrame, pages: DataFrame) -> DataFrame:
-    """Declarative fetch: LEFT join frontier → pages on canonical URL."""
+BROADCAST_FRONTIER_MAX_ROWS = 2_000_000
+
+
+def fetch_join(to_fetch: DataFrame, pages: DataFrame,
+               frontier_rows: int | None = None) -> DataFrame:
+    """Declarative fetch: frontier → pages on canonical URL.
+
+    Two physical strategies:
+      * frontier broadcast (default when the batch is known to be small —
+        and the per-host politeness budget BOUNDS every batch, so this is
+        the normal case): INNER join with the frontier as the broadcast
+        build side streams the huge pages table with NO shuffle; the
+        missing URLs (404s) are recovered with a broadcast anti-join.
+        A left-outer join could never do this — Spark cannot broadcast the
+        preserved side — and falls back to shuffling the pages table
+        (~the whole web) every batch.
+      * sort-merge LEFT join when the batch size is unknown or huge.
+    """
     p = pages.select(*[F.col(c) for c in _PAGE_COLS])
-    out = (to_fetch.join(p, to_fetch.url_norm == p.url, "left")
-           .drop("url")
-           .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
-           .withColumn("success", F.col("status") < 400)
-           .withColumn("fetched_at", F.current_timestamp())
-           .withColumn("fetch_partition", F.spark_partition_id()))
-    return out
+    if frontier_rows is not None and frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS:
+        hits = (p.join(F.broadcast(to_fetch), p.url == to_fetch.url_norm,
+                       "inner").drop("url"))
+        # 404s: anti-join against the pages KEY column only — column pruning
+        # makes this a cheap second scan (url column, not body_html)
+        misses = to_fetch.join(
+            p.select(F.col("url").alias("url_norm")), "url_norm",
+            "left_anti")
+        for f in FETCH_RESULT_EXTRA.fields:
+            misses = misses.withColumn(
+                f.name, F.lit(None).cast(f.dataType))
+        out = hits.unionByName(misses.select(*hits.columns))
+    else:
+        out = to_fetch.join(p, to_fetch.url_norm == p.url, "left").drop("url")
+    return (out
+            .withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+            .withColumn("success", F.col("status") < 400)
+            .withColumn("fetched_at", F.current_timestamp())
+            .withColumn("fetch_partition", F.spark_partition_id()))
 
 
 def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict) -> DataFrame:

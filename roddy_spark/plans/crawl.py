@@ -354,7 +354,12 @@ class Crawler:
             # 3. fetch (the admitted rows are already durably visited);
             # error classification per F12 (ignored errors → NULL effective)
             obs_f = Observation(f"fetch_{batch}")
-            fetched = (self.fetcher(to_fetch, self.pages)
+            import inspect
+            fkw = {}
+            if "frontier_rows" in inspect.signature(self.fetcher).parameters:
+                # known batch bound → broadcast-frontier fetch strategy
+                fkw["frontier_rows"] = n_admitted + n_pending
+            fetched = (self.fetcher(to_fetch, self.pages, **fkw)
                        .withColumn("batch", F.lit(batch)))
             err = F.when(F.col("success"), F.lit(None)).otherwise(
                 F.concat(F.lit("http_"), F.col("status").cast("string")))
