@@ -71,20 +71,36 @@ def fetch_join(to_fetch: DataFrame, pages: DataFrame,
             .withColumn("fetch_partition", F.spark_partition_id()))
 
 
-def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict) -> DataFrame:
+def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict,
+                      cookies: dict | None = None,
+                      proxies: list | None = None) -> DataFrame:
     """Production-shaped fetch: Arrow-batched ``mapInPandas`` whose
     per-partition state stands in for an HTTP/browser client (the reference's
     bot pool, botpool.go:9-70). ``page_lookup`` is broadcast: url →
     (status, content_type, body_html). Sandbox-only as a dict; with a real
-    network the closure would hold a lazily-created client instead."""
+    network the closure would hold a lazily-created client instead.
+
+    ``cookies`` is the K3 surface (storage/storage.go:92-131): a broadcast
+    host→cookie-string map a real client would attach per request.
+    ``proxies`` is the S3 surface (bot.go:147-170): the per-partition client
+    picks one deterministically by partition id (roddy picks randomly per
+    new bot; partition-seeded choice is the batch analog)."""
     spark = to_fetch.sparkSession
     bc = spark.sparkContext.broadcast(page_lookup)
+    bc_cookies = spark.sparkContext.broadcast(cookies or {})
+    bc_proxies = spark.sparkContext.broadcast(list(proxies or []))
     in_fields = to_fetch.schema.fields
     schema = StructType(list(in_fields) + list(FETCH_RESULT_EXTRA.fields)
                         + [StructField("success", BooleanType())])
 
     def do_fetch(batches):
         store = bc.value  # per-partition "client" init happens once here
+        _cookies = bc_cookies.value   # would configure the client's jar
+        _proxy = None
+        if bc_proxies.value:
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            _proxy = bc_proxies.value[pid % len(bc_proxies.value)]
         for pdf in batches:
             statuses, ctypes, bodies = [], [], []
             for u in pdf["url_norm"]:

@@ -63,3 +63,12 @@ def hash_of(col: Column | str) -> Column:
     """Visited-set key (U3): JVM-side xxhash64, seed 42."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(c)
+
+
+def filename_from_url(col: Column | str) -> Column:
+    """U6 (util.go:28-35): ``scheme_host`` slug used for per-host cookie
+    file names — kept for API parity; JVM-side expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws("_",
+                       F.lower(F.parse_url(c, F.lit("PROTOCOL"))),
+                       F.lower(F.parse_url(c, F.lit("HOST"))))

@@ -18,7 +18,12 @@ At true 10^10 scale a single broadcast filter (~12 GB at 10 bits/key) is too
 big; ``ShardedBloom`` keys shards by ``pmod(url_hash, n_shards)`` so each
 executor-side lookup touches one shard and shards can be sized/rotated to the
 active working set; the exact anti-join (bucketed on url_hash in the
-snapshot store) remains the ground truth.
+snapshot store) remains the ground truth. (Shard sizing under a memory
+budget follows the pattern of "Optimizing Collections of Bloom Filters
+within a Space Budget", VLDB 2024; windowed/deletable-membership variants —
+the cuckoo-filter direction the north rule names — per "A Learned Cuckoo
+Filter for Approximate Membership Queries over Variable-sized Sliding
+Windows on Data Streams", SIGMOD 2023; see PAPERS.md.)
 """
 
 from __future__ import annotations

@@ -63,6 +63,21 @@ def q_url_host_hash(spark, sf_dir):
                     T.h32("url_norm").alias("url_key"))
 
 
+def q_url_filename_slug(spark, sf_dir):
+    """U6 (util.go:28-35): scheme_host cookie-file slug."""
+    c = q_url_canonicalize(spark, sf_dir)
+    return c.select("p_partkey",
+                    U.filename_from_url("url_norm").alias("slug"))
+
+
+SQL_URL_FILENAME_SLUG = """
+SELECT p_partkey,
+       regexp_extract(url_norm, '^([a-z]+)://', 1) || '_' ||
+       regexp_extract(url_norm, '^[a-z]+://([^/]+)', 1) AS slug
+FROM (""" + SQL_URL_CANONICALIZE + """)
+"""
+
+
 SQL_URL_HOST_HASH = f"""
 WITH c AS ({SQL_URL_CANONICALIZE})
 SELECT p_partkey,
@@ -646,6 +661,7 @@ def q_crawl_bfs(spark, sf_dir):
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_host_hash": q_url_host_hash,
+    "url_filename_slug": q_url_filename_slug,
     "visited_antijoin": q_visited_antijoin,
     "first_occurrence": q_first_occurrence,
     "politeness_rank": q_politeness_rank,
@@ -676,6 +692,7 @@ QUERIES = {
 ORACLES = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "url_host_hash": SQL_URL_HOST_HASH,
+    "url_filename_slug": SQL_URL_FILENAME_SLUG,
     "visited_antijoin": SQL_VISITED_ANTIJOIN,
     "first_occurrence": SQL_FIRST_OCCURRENCE,
     "politeness_rank": SQL_POLITENESS_RANK,

@@ -359,6 +359,9 @@ class Crawler:
             if "frontier_rows" in inspect.signature(self.fetcher).parameters:
                 # known batch bound → broadcast-frontier fetch strategy
                 fkw["frontier_rows"] = n_admitted + n_pending
+            # fetch consumes to_fetch in multiple plan branches (broadcast
+            # build / hits / misses) — persist so politeness runs once
+            to_fetch = to_fetch.persist()
             fetched = (self.fetcher(to_fetch, self.pages, **fkw)
                        .withColumn("batch", F.lit(batch)))
             err = F.when(F.col("success"), F.lit(None)).otherwise(
@@ -378,6 +381,7 @@ class Crawler:
             fetched = fetched.repartition(
                 self._width(max(n_admitted, n_pending), 5_000))
             store.write(fetched, "fetches", batch)
+            to_fetch.unpersist()
             fetched = store.read(spark, "fetches", batch)
             n_fetched = int(obs_f.get["n"])
             n_ok = int(obs_f.get["ok"] or 0)

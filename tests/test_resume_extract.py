@@ -74,6 +74,32 @@ def test_resume_equals_uninterrupted(spark, web, tmp_path):
     assert state.success_count == full.success_count
 
 
+def test_filename_from_url(spark):
+    """U6 golden triples (util_test.go:24-40 analog)."""
+    from roddy_spark.functions.urls import filename_from_url
+    df = spark.createDataFrame(
+        [("http://example.com/a/b",), ("https://x.test:8080/p?q=1",)],
+        ["u"])
+    got = [r[0] for r in df.select(filename_from_url("u")).collect()]
+    assert got == ["http_example.com", "https_x.test"]
+
+
+def test_fetch_mapinpandas_cookies_proxies(spark, web):
+    """K3/S3 config surface: cookies + proxies broadcast into the
+    per-partition client without changing fetch results."""
+    from roddy_spark.fetch import fetch_mapinpandas, page_lookup_from_pandas
+    pdf, _ = web
+    lookup = page_lookup_from_pandas(pdf)
+    tf = spark.createDataFrame(
+        [("http://h0.test/", 1), ("http://h0.test/nope", 1)],
+        ["url_norm", "depth"])
+    out = fetch_mapinpandas(tf, lookup,
+                            cookies={"h0.test": "sid=abc"},
+                            proxies=["proxy1:8080", "proxy2:8080"])
+    rows = {r["url_norm"]: r["success"] for r in out.collect()}
+    assert rows == {"http://h0.test/": True, "http://h0.test/nope": False}
+
+
 def test_mapinpandas_fetcher_parity(spark, web, tmp_path):
     """The production-shaped mapInPandas fetcher produces the same crawl as
     the declarative join fetcher."""
