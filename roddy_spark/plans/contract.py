@@ -553,6 +553,27 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_json_props(spark, sf_dir):
+    """JSON payload extraction (the reference's Context/serialized-request
+    JSON analog, request.go:107-125): parse events.props, aggregate the
+    extracted field per event_type."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count_distinct("k").alias("n_distinct_k")))
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+           AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_hourly_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (EV.hourly_rollup(ev)
@@ -683,6 +704,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "sessionize": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
+    "json_props": q_json_props,
     "frontier_admission": q_frontier_admission,
     "image_decode_validate": q_image_decode_validate,
     "phash_neardup": q_phash_neardup,
@@ -714,6 +736,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "sessionize": SQL_SESSIONIZE,
     "hourly_rollup": SQL_HOURLY_ROLLUP,
+    "json_props": SQL_JSON_PROPS,
     "frontier_admission": SQL_FRONTIER_ADMISSION,
     # image_decode_validate / phash_neardup / crawl_bfs: rows-only
     # (binary decode + iterative multi-job loop are not SQL-expressible)
