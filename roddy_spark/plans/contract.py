@@ -671,11 +671,19 @@ def q_crawl_bfs(spark, sf_dir):
     from roddy_spark.sources.synthweb import WebConfig, synthweb_df
     cfg = WebConfig(n_hosts=2, n_pages=60, n_corpus=20)
     pages = synthweb_df(spark, cfg, partitions=2)
-    with tempfile.TemporaryDirectory() as ckpt:
-        state = Crawler(spark, CrawlConfig(max_depth=3, per_host_budget=8),
-                        pages, ckpt).run(["http://h0.test/"])
-        df = state.visited(spark).select("url_norm", "depth", "seq")
-        df = spark.createDataFrame(df.collect(), df.schema)  # detach from ckpt
+    # the caller's session may default to 200 shuffle partitions — a tiny
+    # crawl would then schedule thousands of empty tasks; pin and restore
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            state = Crawler(spark,
+                            CrawlConfig(max_depth=3, per_host_budget=8),
+                            pages, ckpt).run(["http://h0.test/"])
+            df = state.visited(spark).select("url_norm", "depth", "seq")
+            df = spark.createDataFrame(df.collect(), df.schema)  # detach
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df
 
 

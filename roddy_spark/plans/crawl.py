@@ -80,9 +80,19 @@ class SnapshotStore:
              batch: int | None = None) -> DataFrame | None:
         # ``batch`` is stored as a REGULAR column where needed; the
         # directory layout is only for snapshot isolation, so reads go
-        # through an explicit glob (no partition-column inference).
-        p = (self.path(table, batch) if batch is not None
-             else os.path.join(self.path(table), "batch=*"))
+        # through an explicit glob (no partition-column inference). The
+        # existence check avoids Spark's noisy WARN+stacktrace probe on
+        # globs that match nothing (e.g. first-batch reads).
+        root = self.path(table)
+        if batch is not None:
+            p = self.path(table, batch)
+            if not os.path.isdir(p):
+                return None
+        else:
+            if not (os.path.isdir(root) and any(
+                    e.startswith("batch=") for e in os.listdir(root))):
+                return None
+            p = os.path.join(root, "batch=*")
         try:
             return spark.read.parquet(p)
         except Exception:
