@@ -78,6 +78,41 @@ class Bloom:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
 
 
+def bloom_from_hashes_df(df: DataFrame, capacity: int, fpp: float = 0.01,
+                         hash_col: str = "url_hash") -> Bloom:
+    """Distributed bloom build: each partition sets bits into a local
+    bitmap (vectorized numpy inside mapInPandas), the driver OR-merges the
+    per-partition bitmaps. Shuffle-free; driver traffic is
+    ``num_partitions × m/8`` bytes (the bitmap size is fixed by capacity,
+    NOT by row count — this is what makes the build valid at 10^10 rows,
+    unlike collecting hashes). Used for both the per-micro-batch delta
+    merge and the resume-time rebuild."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module)
+
+    proto = Bloom(capacity, fpp)
+    m, k = proto.m, proto.k
+
+    def build(batches):
+        local = Bloom.__new__(Bloom)
+        local.m, local.k = m, k
+        local.bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                local.add(pdf[hash_col].to_numpy(dtype=np.int64))
+        if any_rows:
+            yield pd.DataFrame({"bits": [local.bits.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(build, "bits binary").collect()
+    for row in parts:
+        np.bitwise_or(proto.bits,
+                      np.frombuffer(row["bits"], dtype=np.uint8),
+                      out=proto.bits)
+    return proto
+
+
 class ShardedBloom:
     """Bloom sharded by pmod(hash, n_shards) — the 10^10-scale layout: each
     shard stays broadcast-size and shards are delta-merged independently."""

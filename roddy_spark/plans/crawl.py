@@ -255,17 +255,13 @@ class Crawler:
                           "pos", "ctx"))
 
     def _build_bloom(self, visited: DataFrame | None) -> Bloom:
-        bloom = Bloom(self.config.bloom_capacity, self.config.bloom_fpp)
-        if visited is not None:
-            # sandbox-scale rebuild: collect hashes driver-side. At 10^10
-            # the rebuild is distributed instead: per-partition Bloom bits
-            # OR-reduced (treeAggregate) — same structure, and the routine
-            # below is only used on RESUME; during a run the filter is
-            # delta-merged per batch (never rebuilt).
-            hashes = [r[0] for r in visited.select("url_hash").collect()]
-            import numpy as np
-            bloom.add(np.asarray(hashes, dtype=np.int64))
-        return bloom
+        if visited is None:
+            return Bloom(self.config.bloom_capacity, self.config.bloom_fpp)
+        # distributed build: per-partition bitmaps OR-merged driver-side;
+        # driver traffic is partitions × bitmap size, independent of rows
+        from roddy_spark.operators.dedup import bloom_from_hashes_df
+        return bloom_from_hashes_df(visited, self.config.bloom_capacity,
+                                    self.config.bloom_fpp)
 
     # -- main loop ------------------------------------------------------
     def run(self, seeds: list[str] | None = None,
@@ -303,7 +299,6 @@ class Crawler:
                 "success_count": 0, "batches": [], "done": False,
                 "config": repr(cfg)})
 
-        import numpy as np
         from pyspark.sql import Observation
 
         while batch < self.max_batches:
@@ -333,11 +328,13 @@ class Crawler:
                 if bloom is None and self._bloom_active(admitted_count):
                     bloom = self._build_bloom(store.read(spark, "visited"))
                 elif bloom is not None and n_admitted:
-                    # per-micro-batch delta merge (sandbox: driver collect;
-                    # at 10^10: distributed per-shard OR-reduce instead)
-                    delta = [r[0] for r in
-                             admitted.select("url_hash").collect()]
-                    bloom.add(np.asarray(delta, dtype=np.int64))
+                    # per-micro-batch delta merge: distributed per-partition
+                    # bitmap build over the batch delta, OR-merged (north
+                    # rule's cuckoo/bloom delta-merge per micro-batch)
+                    from roddy_spark.operators.dedup import \
+                        bloom_from_hashes_df
+                    bloom.merge(bloom_from_hashes_df(
+                        admitted, cfg.bloom_capacity, cfg.bloom_fpp))
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
