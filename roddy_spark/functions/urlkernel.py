@@ -232,6 +232,13 @@ def canonicalize_url(raw: str | None) -> str | None:
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if not host.isascii():
+        # WHATWG punycodes unicode hosts (IDNA); stdlib codec covers the
+        # common cases — unencodable labels fall back to the lowercased form
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass
     try:
         port = parts.port  # validates numeric range
     except ValueError:

@@ -116,6 +116,39 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs with simhash hamming distance ≤ max_hamming.
+
+    Banded candidate generation (pigeonhole): split the 16-bit simhash into
+    ``max_hamming + 1`` bands — any pair within the distance shares at
+    least one exact band, so candidates come from an equi-join on
+    (band, band_value), never a cross join; exact hamming verifies."""
+    n_bands = max_hamming + 1
+    band_bits = 16 // n_bands
+    s = df.select(F.col(id_col).alias("id"),
+                  T.simhash16(text_col).alias("simhash"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                  .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("val"))
+        for b in range(n_bands)])
+    tagged = (s.withColumn("b", F.explode(bands))
+              .select("id", "simhash", "b.band", "b.val"))
+    l, r = tagged.alias("l"), tagged.alias("r")
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.val") == F.col("r.val"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"),
+                    F.bit_count(F.col("l.simhash")
+                                .bitwiseXOR(F.col("r.simhash")))
+                    .alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def simhash_dupes(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash collision groups (hamming-0 near-dups): one shuffle on

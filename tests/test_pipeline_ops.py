@@ -102,6 +102,20 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_simhash_near_pairs_banded(spark, docs):
+    base = docs.select("doc_id", "text").limit(40)
+    # near-dup: one extra token on an ~80-token doc → few simhash bits flip
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    pairs = D.simhash_near_pairs(base.unionByName(dup),
+                                 max_hamming=3).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    planted = {(i, i + 100000) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"banded simhash recall {recall}"
+    assert all(p["hamming"] <= 3 for p in pairs)
+
+
 def test_simhash_collision_groups(spark, docs):
     base = docs.select("doc_id", "text").limit(80)
     dup = base.select((F.col("doc_id") + 100000).alias("doc_id"),

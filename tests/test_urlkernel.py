@@ -41,6 +41,8 @@ CANON_GOLDEN = [
     ("http://h.test/f√©e", "http://h.test/f%E2%88%9A%C2%A9e"),
     # trailing dot in host dropped, host lowercased
     ("http://EXAMPLE.com./x", "http://example.com/x"),
+    # unicode host → IDNA punycode (WHATWG host parsing)
+    ("http://bücher.example/x", "http://xn--bcher-kva.example/x"),
     # non-http schemes and garbage → None
     ("mailto:x@y.z", None),
     ("javascript:void(0)", None),
