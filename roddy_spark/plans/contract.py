@@ -660,6 +660,25 @@ def q_phash_neardup(spark, sf_dir):
     return phash_near_duplicates(corpus.unionByName(twin), max_hamming=4)
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio payload features over the generated pcm16 media table
+    (binary decode → not SQL-expressible; rows-only)."""
+    from roddy_spark.operators.multimodal import audio_features, media_df
+    return (audio_features(media_df(spark, n_audio=16, n_video=0, seed=42))
+            .select("media_id", "duration_s",
+                    F.round("rms", 4).alias("rms"),
+                    F.round("zero_crossing_rate", 4).alias("zcr")))
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling over the generated fvid media table
+    (rows-only): every 2nd frame → (media_id, frame_idx, ts_ms, phash)."""
+    from roddy_spark.operators.multimodal import media_df, video_frame_sample
+    return (video_frame_sample(media_df(spark, n_audio=0, n_video=8,
+                                        seed=42), every_k=2)
+            .select("media_id", "frame_idx", "ts_ms", "phash"))
+
+
 def q_crawl_bfs(spark, sf_dir):
     """The full iterative BFS crawl on a seeded synthetic web — equivalence
     vs the reference-semantics oracle is pinned by tests/test_crawl_e2e.py;
@@ -716,6 +735,8 @@ QUERIES = {
     "frontier_admission": q_frontier_admission,
     "image_decode_validate": q_image_decode_validate,
     "phash_neardup": q_phash_neardup,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "crawl_bfs": q_crawl_bfs,
 }
 
