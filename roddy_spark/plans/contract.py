@@ -544,8 +544,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, value,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM g)
 SELECT user_id, session_id, count(*) AS n_events,
        round(sum(value), 2) AS sum_value
@@ -567,7 +568,8 @@ def q_json_props(spark, sf_dir):
 
 SQL_JSON_PROPS = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
            AS n_distinct_k
 FROM events GROUP BY event_type
