@@ -39,7 +39,7 @@ BENCH_PAGES = int(os.environ.get("RODDY_BENCH_PAGES", "10000"))
 SCALE_CORES_N = int(os.environ.get("RODDY_BENCH_CORES_N", "2"))
 SCALE_CORES_4N = int(os.environ.get("RODDY_BENCH_CORES_4N", "8"))
 SCALE_HOSTS = int(os.environ.get("RODDY_SCALE_HOSTS", "64"))
-SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "1000000"))
+SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "2000000"))
 
 QUERY_NAMES = [
     "frontier_admission", "visited_antijoin", "first_occurrence",
@@ -50,12 +50,43 @@ QUERY_NAMES = [
 ]
 
 
-def build_session(cores: int):
+def build_session(cores: int, scan_bytes: int | None = None,
+                  shuffle_partitions: int | None = None):
     from roddy_spark.session import build_session as bs
+    extra = {}
+    # Shuffle/spill on tmpfs: the sandbox's /tmp is ext4 on a ~250 MB/s
+    # virtual disk, and async dirty-page writeback from one run randomly
+    # stalls the next (±25% run-to-run noise measured). A real cluster has
+    # local NVMe per executor; tmpfs is the local-mode equivalent. The box
+    # has 125 GiB free — far above any bench shuffle.
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/roddy_spark_local"
+        os.makedirs(d, exist_ok=True)
+        extra["spark.local.dir"] = d
+    if scan_bytes is not None:
+        # split parquet scans so the scan-anchored stages (fetch join →
+        # parse → resolve run pipelined inside the scan stage, no body
+        # shuffle) get ~3 waves of balanced tasks per core
+        extra["spark.sql.files.maxPartitionBytes"] = str(scan_bytes)
+        extra["spark.sql.files.openCostInBytes"] = str(64 * 1024)
     spark = bs(app_name=f"roddy-bench-{cores}", cores=cores,
-               shuffle_partitions=cores)
+               shuffle_partitions=shuffle_partitions or cores,
+               extra_conf=extra)
     warmup(spark, cores)
     return spark
+
+
+def _scan_split_bytes(web_path: str, cores: int) -> int:
+    """Scan split size for ~3 task waves at ``cores``. The scaling pair
+    passes the SAME ``cores`` (the 4N side) to both sides: identical splits
+    + identical shuffle partitioning = identical physical work units on
+    both cluster sizes, exactly as on a real N vs 4N cluster reading the
+    same files — otherwise per-task fixed costs differ per side and corrupt
+    the efficiency ratio."""
+    total = sum(os.path.getsize(os.path.join(web_path, f))
+                for f in os.listdir(web_path)
+                if f.endswith(".parquet"))
+    return min(128 << 20, max(1 << 20, total // (cores * 3)))
 
 
 def warmup(spark, cores: int) -> None:
@@ -71,6 +102,15 @@ def warmup(spark, cores: int) -> None:
     (spark.range(0, cores * 4, 1, cores * 2)
      .mapInPandas(ident, "id long").write.format("noop")
      .mode("overwrite").save())
+
+
+def warm_level(spark, small_web_path: str) -> None:
+    """Run one miniature frontier level (same operators, same generated-code
+    shapes) on the small bench web so whole-stage-codegen compilation, JVM
+    JIT and python-worker imports are paid BEFORE the timed runs — codegen
+    caches key on plan shape, so the full-size level then starts warm."""
+    if os.path.exists(os.path.join(small_web_path, "_SUCCESS")):
+        frontier_level_throughput(spark, small_web_path)
 
 
 def materialize_web(spark, path: str, hosts: int = BENCH_HOSTS,
@@ -182,7 +222,29 @@ def run_queries(spark) -> dict:
     return out
 
 
+def _level_runner(argv: list[str]) -> None:
+    """Subprocess entry for one scaling-pair side: pin to N hardware CPUs,
+    warm up, run the level K times, print the runs as one JSON line."""
+    cores, runs = int(argv[0]), int(argv[1])
+    scale_web, small_web = argv[2], argv[3]
+    os.sched_setaffinity(0, set(range(cores)))  # before the JVM spawns
+    # identical physical plan on both sides: splits + shuffle partitions
+    # sized for the 4N side (see _scan_split_bytes)
+    spark = build_session(cores,
+                          _scan_split_bytes(scale_web, SCALE_CORES_4N),
+                          shuffle_partitions=SCALE_CORES_4N)
+    warm_level(spark, small_web)
+    out = [frontier_level_throughput(spark, scale_web)
+           for _ in range(runs)]
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--level-runner" in sys.argv:
+        i = sys.argv.index("--level-runner")
+        _level_runner(sys.argv[i + 1:i + 5])
+        return
     quick = "--quick" in sys.argv
     web_path = os.path.join(
         tempfile.gettempdir(),
@@ -212,21 +274,31 @@ def main() -> None:
         # cluster. A soft deadline degrades to single runs if generation or
         # the query suite ate the budget.
         t_start = time.time()
-        deadline = float(os.environ.get("RODDY_BENCH_DEADLINE_S", "480"))
+        deadline = float(os.environ.get("RODDY_BENCH_DEADLINE_S", "600"))
+        runs_per_side = int(os.environ.get("RODDY_BENCH_RUNS", "3"))
 
         def pair(cores):
-            s = build_session(cores)
-            a = frontier_level_throughput(s, scale_web_path)
-            if time.time() - t_start < deadline:
-                b = frontier_level_throughput(s, scale_web_path)
-            else:
-                b = a
-            s.stop()
-            # min-of-two: the standard low-noise estimator (run-to-run
-            # variance on a shared box is ±15%)
-            best = a if a["secs"] <= b["secs"] else b
-            other = b if best is a else a
-            return other, best
+            # Each side runs in a SUBPROCESS pinned (sched_setaffinity) to
+            # exactly ``cores`` hardware CPUs before the JVM spawns, so the
+            # side's JVM task threads AND its python UDF workers share that
+            # budget — the local-mode analog of an N-core vs 4N-core
+            # cluster. Unpinned local[N] lets python workers overflow onto
+            # extra cores, silently inflating the small side (measured:
+            # local[2] ran 1.6x faster than a true 2-cpu budget).
+            # min-of-K warm runs; a miniature level inside the runner warms
+            # codegen/JIT first. The deadline guard degrades K, never
+            # below 2.
+            import subprocess
+            budget = max(2, runs_per_side) if (
+                time.time() - t_start < deadline) else 2
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--level-runner", str(cores), str(budget),
+                 scale_web_path, web_path],
+                capture_output=True, text=True, timeout=1800)
+            runs = json.loads(out.stdout.strip().splitlines()[-1])
+            best = min(runs, key=lambda r: r["secs"])
+            return {"all_secs": [r["secs"] for r in runs]}, best
 
         cold_n, fl_n = pair(SCALE_CORES_N)
         cold_4n, fl_4n = pair(SCALE_CORES_4N)
@@ -239,8 +311,8 @@ def main() -> None:
             "throughput_n": fl_n["throughput_urls_per_sec"],
             "throughput_4n": fl_4n["throughput_urls_per_sec"],
             "secs_n": fl_n["secs"], "secs_4n": fl_4n["secs"],
-            "other_run_secs_n": cold_n["secs"],
-            "other_run_secs_4n": cold_4n["secs"],
+            "all_run_secs_n": cold_n["all_secs"],
+            "all_run_secs_4n": cold_4n["all_secs"],
             "efficiency": round(eff, 3),
         }
     r_4n = r_loop

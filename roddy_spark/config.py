@@ -54,6 +54,14 @@ class CrawlConfig:
     # than maintaining the filter); 'on'/'off' force it
     bloom_mode: str = "auto"
     bloom_min_visited: int = 50_000
+    # visited-table layout: 0 = plain per-batch parquet; K > 0 = a bucketed
+    # table CLUSTERED BY pmod(url_hash) INTO K buckets (Iceberg bucket-
+    # transform stand-in), so the per-batch anti-join never shuffles the
+    # monotonically growing visited side — only the batch-sized candidate
+    # side moves (SURVEY.md §7.4.1 cost center). Size K so one bucket of the
+    # final visited set fits an executor task (10^10 rows → K in the
+    # thousands).
+    visited_buckets: int = 0
     shuffle_partitions: int | None = None  # override spark.sql.shuffle.partitions per crawl
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 

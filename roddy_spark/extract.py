@@ -105,3 +105,132 @@ def parse_html_udf(html: pd.Series) -> pd.DataFrame:
         [(r or {"title": None, "base_href": None, "links": None,
                 "images": None, "descriptions": None}) for r in rows],
         columns=["title", "base_href", "links", "images", "descriptions"])
+
+
+# ---------------------------------------------------------------------------
+# Vectorized anchor extraction — the link-discovery hot path.
+#
+# The stdlib HTMLParser costs ~0.4 ms/page of per-character Python; at crawl
+# scale (10^6 pages/level and up) that is the single largest CPU line after
+# URL work. Machine-generated HTML — the overwhelming majority of what a
+# crawler parses — has a regular anchor shape that C-speed regexes
+# (pandas .str.extractall) handle exactly. A page takes the fast path ONLY
+# if it provably contains nothing the regex could misread:
+#   * none of: comments, <script>/<style> (could contain "<a " as text),
+#     CDATA/processing blocks;
+#   * every "<a"/"<base" tag matches the strict shape: attrs are
+#     whitespace-separated name="double-quoted-value" pairs with no
+#     <, > or " inside values (count(any) == count(strict));
+#   * no anchor repeats an attribute (HTMLParser keeps the LAST duplicate;
+#     the fast extract takes the first — so duplicates disqualify the page).
+# Everything else falls back to the HTMLParser path, row by row. Parity with
+# parse_html on both synthetic-web output and adversarial fixtures is pinned
+# in tests/test_resume_extract.py.
+# ---------------------------------------------------------------------------
+
+import html as _htmlmod
+import re as _re
+
+import numpy as np
+
+_BAD_CONSTRUCT_RE = _re.compile(r"(?is)<!--|<script|<style|<!\[|<\?")
+_ANCHOR_ANY_RE = _re.compile(r"(?is)<a(?=[\s>/])")
+_ANCHOR_STRICT_RE = _re.compile(
+    r"(?is)<a((?:\s+[a-z_][\w-]*(?:\s*=\s*\"[^\"<>]*\")?)*)\s*/?>")
+_BASE_ANY_RE = _re.compile(r"(?is)<base(?=[\s>/])")
+_BASE_STRICT_RE = _re.compile(
+    r"(?is)<base((?:\s+[a-z_][\w-]*(?:\s*=\s*\"[^\"<>]*\")?)*)\s*/?>")
+_HREF_RE = _re.compile(r"(?is)\bhref\s*=\s*\"([^\"]*)\"")
+_REL_RE = _re.compile(r"(?is)\brel\s*=\s*\"([^\"]*)\"")
+# entity / charref anywhere in a value → decode (cheap per-value fallback)
+_ENTITY_RE = _re.compile(r"&[#a-zA-Z]")
+
+
+def _unescape_series(s: pd.Series) -> pd.Series:
+    """Decode HTML entities in attribute values, vectorized for the common
+    case (no '&' at all); rows containing any entity-ish '&' go through
+    html.unescape — exactly what HTMLParser(convert_charrefs=True) does."""
+    has = s.str.contains(_ENTITY_RE, na=False)
+    if has.any():
+        s = s.copy()
+        s[has] = [_htmlmod.unescape(v) for v in s[has]]
+    return s
+
+
+def extract_links_fast(html: pd.Series):
+    """(base_href Series, links DataFrame[page, href, rel, pos]) for the
+    pages of ``html`` — fast-path extraction with per-row HTMLParser
+    fallback; elementwise identical to ``parse_html`` on the
+    (base_href, links[href, rel, pos]) projection."""
+    idx = html.index
+    s = html.astype("object")
+    notna = s.notna()
+    simple = notna & ~s.str.contains(_BAD_CONSTRUCT_RE, na=False)
+    n_any = s.str.count(_ANCHOR_ANY_RE).where(notna, 0).astype(int)
+    n_strict = s.str.count(_ANCHOR_STRICT_RE).where(notna, 0).astype(int)
+    b_any = s.str.count(_BASE_ANY_RE).where(notna, 0).astype(int)
+    b_strict = s.str.count(_BASE_STRICT_RE).where(notna, 0).astype(int)
+    fast = simple & (n_any == n_strict) & (b_any == b_strict)
+
+    base_href = pd.Series([None] * len(s), index=idx, dtype="object")
+    parts = []
+
+    fs = s[fast]
+    if len(fs):
+        # anchors: (page, match) MultiIndex of strict attr strings
+        m = fs.str.extractall(_ANCHOR_STRICT_RE)
+        if len(m):
+            attrs = m[0]
+            # an attr string with a duplicated href/rel diverges from
+            # HTMLParser's last-wins dict — demote those PAGES to fallback
+            dup = (attrs.str.count(_HREF_RE) > 1) | \
+                  (attrs.str.count(_REL_RE) > 1)
+            if dup.any():
+                bad_pages = set(attrs.index[dup].get_level_values(0))
+                fast = fast.copy()
+                fast[list(bad_pages)] = False
+                attrs = attrs[~attrs.index.get_level_values(0).isin(
+                    bad_pages)]
+            href = attrs.str.extract(_HREF_RE, expand=False)
+            keep = href.notna()
+            if keep.any():
+                href = _unescape_series(href[keep])
+                rel = _unescape_series(
+                    attrs[keep].str.extract(_REL_RE, expand=False)
+                    .fillna(""))
+                page = href.index.get_level_values(0)
+                pos = pd.Series(np.arange(len(href)), index=href.index)
+                pos -= pos.groupby(page).transform("min")
+                parts.append(pd.DataFrame({
+                    "page": page, "href": href.values, "rel": rel.values,
+                    "pos": pos.values.astype("int32")}))
+        # base href: first <base> with an href (parse_html keeps the first)
+        for i in idx[fast & (b_any > 0)]:
+            for bm in _BASE_STRICT_RE.finditer(s[i]):
+                hm = _HREF_RE.search(bm.group(1))
+                if hm:
+                    v = hm.group(1)
+                    base_href[i] = (_htmlmod.unescape(v)
+                                    if _ENTITY_RE.search(v) else v)
+                    break
+
+    slow_idx = idx[notna & ~fast]
+    for i in slow_idx:
+        r = parse_html(s[i])
+        if r is None:
+            continue
+        base_href[i] = r["base_href"]
+        if r["links"]:
+            parts.append(pd.DataFrame({
+                "page": [i] * len(r["links"]),
+                "href": [lk["href"] for lk in r["links"]],
+                "rel": [lk["rel"] for lk in r["links"]],
+                "pos": np.array([lk["pos"] for lk in r["links"]],
+                                dtype="int32")}))
+
+    links = (pd.concat(parts, ignore_index=True) if parts else
+             pd.DataFrame({"page": pd.Series([], dtype="object"),
+                           "href": pd.Series([], dtype="object"),
+                           "rel": pd.Series([], dtype="object"),
+                           "pos": pd.Series([], dtype="int32")}))
+    return base_href, links

@@ -53,11 +53,15 @@ def fetch_join(to_fetch: DataFrame, pages: DataFrame,
     if frontier_rows is not None and frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS:
         hits = (p.join(F.broadcast(to_fetch), p.url == to_fetch.url_norm,
                        "inner").drop("url"))
-        # 404s: anti-join against the pages KEY column only — column pruning
-        # makes this a cheap second scan (url column, not body_html)
+        # 404s = frontier rows with no page: anti-join against the HITS key
+        # set, which is batch-bounded (hits ⊆ to_fetch) — broadcastable at
+        # any web size. Anti-joining against pages.url instead would build/
+        # shuffle a web-sized key side every batch. The hits sub-plan is
+        # re-evaluated here, but that is one extra column-pruned pages scan
+        # probing the SAME frontier broadcast (AQE reuses the exchange) —
+        # cheap, and nothing web-sized ever crosses the wire.
         misses = to_fetch.join(
-            p.select(F.col("url").alias("url_norm")), "url_norm",
-            "left_anti")
+            F.broadcast(hits.select("url_norm")), "url_norm", "left_anti")
         for f in FETCH_RESULT_EXTRA.fields:
             misses = misses.withColumn(
                 f.name, F.lit(None).cast(f.dataType))

@@ -300,6 +300,116 @@ def resolve_url(base: str | None, href: str | None) -> str | None:
     return canonicalize_url(f"{bp.scheme}://{bp.netloc}{base_dir}/{h}")
 
 
+# ---------------------------------------------------------------------------
+# Vectorized fast path (pandas Series) — the 100 TB hot kernel
+# ---------------------------------------------------------------------------
+# The scalar canonicalizer costs ~20 µs/URL of pure Python; at 10^10 frontier
+# URLs that is the single largest CPU line in the engine. Almost all URLs a
+# crawl sees are ALREADY canonical (they were emitted by this same kernel one
+# level earlier), so a strict regex — evaluated in C by pandas.str.match —
+# detects "canonicalize would be the identity" and passes those rows through
+# untouched; only the messy residue pays the scalar path. The regex is
+# deliberately conservative: any false NEGATIVE only costs speed, while a
+# false POSITIVE would be a wrong answer — so it admits only URLs where every
+# normalization step provably no-ops:
+#   * lowercase http/https scheme, lowercase ASCII host, no userinfo,
+#     no trailing dot (host ends alnum), no IDNA needed (ASCII classes);
+#   * no port, or a 1-4 digit non-default port without leading zeros;
+#   * non-empty path of RFC 3986 path-safe chars, no '%' (nothing to
+#     percent-normalize), no '.'/'..' segments (global lookahead);
+#   * non-empty query/fragment if the '?'/'#' delimiter is present at all
+#     (canonicalize drops empty ones);
+#   * no whitespace/controls anywhere (not in any class; \Z anchoring so a
+#     trailing newline can't sneak past '$').
+# Equivalence with the scalar kernel on ARBITRARY input is pinned by
+# tests/test_properties.py (vectorized == scalar, elementwise).
+
+import re as _re
+
+_SEG = r"A-Za-z0-9\-._~!$&'()*+,;=:@"
+_FAST_CANON_RE = _re.compile(
+    r"^(?!.*/\.\.?(?:[/?#]|\Z))"                      # no . / .. segments
+    r"https?://"
+    r"[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"               # host
+    r"(?::(?!80(?:[/?#]|\Z))(?!443(?:[/?#]|\Z))[1-9][0-9]{0,3})?"  # port
+    rf"/[{_SEG}/]*"                                   # path (starts with /)
+    rf"(?:\?[{_SEG}/?]+)?"                            # non-empty query
+    rf"(?:#[{_SEG}/?]+)?\Z")                          # non-empty fragment
+
+# relative href fast form: plain path segments, no scheme colon, no query or
+# fragment, no leading '/' (root-relative is a separate mask)
+_FAST_REL_RE = _re.compile(
+    rf"^[A-Za-z0-9\-._~!$&'()*+,;=@]+(?:/[A-Za-z0-9\-._~!$&'()*+,;=@]*)*\Z")
+_FAST_ROOTREL_RE = _re.compile(
+    rf"^/(?!/)[{_SEG}/]*(?:\?[{_SEG}/?]+)?(?:#[{_SEG}/?]+)?\Z")
+# origin (scheme://host[:port]) and directory (…through the last path '/')
+# of an already-fast-canonical base — both total on fast-canonical input
+_ORIGIN_RE = _re.compile(r"^(https?://[^/?#]+)")
+_BASEDIR_RE = _re.compile(r"^(https?://[^?#]*/)")
+
+
+def canonicalize_series(urls):
+    """Vectorized ``canonicalize_url`` over a pandas Series (elementwise
+    identical to the scalar kernel; fast path = identity on already-canonical
+    URLs, slow path = the scalar kernel)."""
+    import pandas as pd
+    s = urls.astype("object")
+    fast = s.str.match(_FAST_CANON_RE, na=False)
+    out = s.where(fast, None)
+    slow = ~fast & s.notna()
+    if slow.any():
+        out[slow] = [canonicalize_url(v) for v in s[slow]]
+    return pd.Series(out, index=urls.index, dtype="object")
+
+
+def resolve_series(base, href):
+    """Vectorized ``resolve_url`` over aligned pandas Series (elementwise
+    identical to the scalar kernel).
+
+    Fast paths (all verified by re-matching the JOINED string against the
+    canonical regex, so a rule that composed wrongly falls back to slow):
+      * href already fast-canonical absolute → itself;
+      * fast-canonical base + root-relative href → origin(base) + href;
+      * fast-canonical base + plain relative href → basedir(base) + href.
+    """
+    import pandas as pd
+    h = href.astype("object")
+    b = base.astype("object")
+    out = pd.Series([None] * len(h), index=h.index, dtype="object")
+    done = pd.Series(False, index=h.index)
+
+    # absolute & already canonical → identity (base irrelevant)
+    m_abs = h.str.match(_FAST_CANON_RE, na=False)
+    out[m_abs] = h[m_abs]
+    done |= m_abs
+
+    base_fast = b.str.match(_FAST_CANON_RE, na=False)
+
+    # root-relative against a canonical base
+    m_root = ~done & base_fast & h.str.match(_FAST_ROOTREL_RE, na=False)
+    if m_root.any():
+        joined = b[m_root].str.extract(_ORIGIN_RE, expand=False) + h[m_root]
+        ok = joined.str.match(_FAST_CANON_RE, na=False)
+        idx = joined.index[ok]
+        out[idx] = joined[ok]
+        done[idx] = True
+
+    # plain relative against a canonical base
+    m_rel = ~done & base_fast & h.str.match(_FAST_REL_RE, na=False)
+    if m_rel.any():
+        joined = b[m_rel].str.extract(_BASEDIR_RE, expand=False) + h[m_rel]
+        ok = joined.str.match(_FAST_CANON_RE, na=False)
+        idx = joined.index[ok]
+        out[idx] = joined[ok]
+        done[idx] = True
+
+    slow = ~done & h.notna()
+    if slow.any():
+        out[slow] = [resolve_url(bb, hh)
+                     for bb, hh in zip(b[slow], h[slow])]
+    return out
+
+
 def url_host(url: str | None) -> str | None:
     """Hostname of a canonical URL (reference roddy.go:259 feeds this to the
     exact-equality domain filters)."""

@@ -20,18 +20,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from roddy_spark.functions.urlkernel import canonicalize_url, resolve_url, url_host
+from roddy_spark.functions.urlkernel import (canonicalize_series,
+                                             resolve_series, url_host)
 
 
 @F.pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url, na_action="ignore")
+    # vectorized fast path (already-canonical → identity via C-speed regex),
+    # scalar kernel for the residue — elementwise-identical, property-tested
+    return canonicalize_series(urls)
 
 
 @F.pandas_udf(StringType())
 def resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    return pd.Series(
-        [resolve_url(b, h) for b, h in zip(base, href)], dtype="object")
+    return resolve_series(base, href)
 
 
 @F.pandas_udf(StringType())

@@ -63,11 +63,102 @@ CANDIDATE_SCHEMA = StructType([
 class SnapshotStore:
     """Parquet + manifest snapshot layout (Iceberg stand-in, same contract:
     the manifest names the last COMPLETE batch; partial writes of batch N+1
-    are invisible until the manifest flips)."""
+    are invisible until the manifest flips).
 
-    def __init__(self, root: str):
+    With ``visited_buckets = K > 0`` the visited table is a bucketed table
+    (CLUSTERED BY url_hash SORTED BY url_hash INTO K BUCKETS) — the
+    sandbox analog of Iceberg's ``bucket(K, url_hash)`` partition transform
+    with storage-partitioned joins. Readers get a scan whose output
+    partitioning already matches the anti-join key, so Catalyst plans the
+    per-batch visited anti-join with NO Exchange (and no sort) on the
+    visited side; only the batch-sized candidate side is shuffled. This is
+    the §7.4.1 fix: at 10^10 visited rows the alternative re-shuffles the
+    whole history every micro-batch."""
+
+    def __init__(self, root: str, visited_buckets: int = 0):
         self.root = root
+        self.visited_buckets = visited_buckets
+        # catalog entry name: unique per store instance (the in-memory
+        # catalog is session-global and tests share a session)
+        import uuid
+        self._visited_table = f"rs_visited_{uuid.uuid4().hex[:12]}"
         os.makedirs(root, exist_ok=True)
+
+    # -- bucketed visited table ----------------------------------------
+    def _visited_path(self) -> str:
+        return os.path.join(self.root, "visited_bucketed")
+
+    def _ensure_visited_table(self, spark: SparkSession) -> None:
+        if not spark.catalog.tableExists(self._visited_table):
+            k = self.visited_buckets
+            # pre-create the location: a CREATE TABLE over a missing dir
+            # makes the first insert's file listing log a WARN + stacktrace
+            os.makedirs(self._visited_path(), exist_ok=True)
+            spark.sql(
+                f"CREATE TABLE {self._visited_table} ("
+                "url_norm STRING, url_hash BIGINT, host STRING, depth INT, "
+                "priority INT, seq BIGINT, ctx MAP<STRING,STRING>, "
+                "batch INT) USING parquet "
+                f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+                f"INTO {k} BUCKETS "
+                f"LOCATION '{self._visited_path()}'")
+
+    def write_visited(self, df: DataFrame, batch: int) -> None:
+        if not self.visited_buckets:
+            self.write(df, "visited", batch)
+            return
+        self._ensure_visited_table(df.sparkSession)
+        (df.write.mode("append")
+           .insertInto(self._visited_table))
+
+    def rollback_visited(self, completed: int) -> None:
+        """Delete visited data written by batches > ``completed`` — the
+        Iceberg uncommitted-snapshot rollback analog. Visited is written
+        BEFORE the manifest commits (mark-at-admission), so a job killed
+        mid-batch leaves rows the manifest never acknowledged; without this,
+        a resume would see its own re-admissions as already visited (or,
+        bucketed, duplicate them on re-append)."""
+        import shutil
+        if not self.visited_buckets:
+            root = self.path("visited")
+            if os.path.isdir(root):
+                for e in os.listdir(root):
+                    if e.startswith("batch=") and \
+                            int(e.split("=", 1)[1]) > completed:
+                        shutil.rmtree(os.path.join(root, e),
+                                      ignore_errors=True)
+            return
+        d = self._visited_path()
+        if not os.path.isdir(d):
+            return
+        import pyarrow.parquet as pq
+        for e in os.listdir(d):
+            p = os.path.join(d, e)
+            if not e.endswith(".parquet") and not e.startswith("part-"):
+                continue
+            try:
+                md = pq.ParquetFile(p).metadata
+                cols = {md.schema.column(i).name: i
+                        for i in range(md.num_columns)}
+                stats = md.row_group(0).column(cols["batch"]).statistics
+                if stats is not None and stats.min > completed:
+                    os.remove(p)
+            except Exception:
+                continue
+
+    def read_visited(self, spark: SparkSession,
+                     batch: int | None = None) -> DataFrame | None:
+        if not self.visited_buckets:
+            df = self.read(spark, "visited", batch)
+            return df if batch is None or df is None else df
+        if not os.path.isdir(self._visited_path()):
+            return None
+        self._ensure_visited_table(spark)
+        df = spark.table(self._visited_table)
+        if batch is not None:
+            # each append's files hold exactly one batch → file-stats prune
+            df = df.filter(F.col("batch") == batch)
+        return df
 
     def path(self, table: str, batch: int | None = None) -> str:
         p = os.path.join(self.root, table)
@@ -85,16 +176,21 @@ class SnapshotStore:
         # globs that match nothing (e.g. first-batch reads).
         root = self.path(table)
         if batch is not None:
-            p = self.path(table, batch)
-            if not os.path.isdir(p):
+            paths = [self.path(table, batch)]
+            if not os.path.isdir(paths[0]):
                 return None
         else:
-            if not (os.path.isdir(root) and any(
-                    e.startswith("batch=") for e in os.listdir(root))):
+            # explicit dir list, not a "batch=*" glob: Spark probes the glob
+            # STRING for streaming-sink metadata and logs a noisy
+            # FileNotFoundException stack trace per read
+            if not os.path.isdir(root):
                 return None
-            p = os.path.join(root, "batch=*")
+            paths = sorted(os.path.join(root, e) for e in os.listdir(root)
+                           if e.startswith("batch="))
+            if not paths:
+                return None
         try:
-            return spark.read.parquet(p)
+            return spark.read.parquet(*paths)
         except Exception:
             return None
 
@@ -121,8 +217,11 @@ class CrawlState:
     success_count: int
 
     def visited(self, spark: SparkSession) -> DataFrame:
-        df = self.store.read(spark, "visited")
-        return df if df is not None else _empty_visited(spark)
+        df = self.store.read_visited(spark)
+        if df is None:
+            return _empty_visited(spark)
+        return df.drop("batch") if "batch" in df.columns and \
+            self.store.visited_buckets else df
 
     def fetches(self, spark: SparkSession) -> DataFrame:
         return self.store.read(spark, "fetches")
@@ -157,42 +256,63 @@ def _empty_visited(spark: SparkSession) -> DataFrame:
 
 def expand(fetched: DataFrame, allow_paging: bool = True) -> DataFrame:
     """Fetched pages → next-batch candidates (SURVEY.md S4/S7/S8):
-    parse HTML, explode anchors, resolve against the effective <base href>,
+    extract anchors, resolve against the effective <base href>,
     canonicalize; rel="next" links keep the parent's depth at paging
     priority (request.go:98-105 semantics), others go to depth+1. Children
     inherit the parent's Context map (request.go:94-96). When the paging
     budget (max_page_num, F11) is exhausted the caller passes
     ``allow_paging=False`` and rel="next" links are dropped — the analog of
-    roddy skipping OnPaging callbacks past maxPageNum (roddy.go:235-238)."""
+    roddy skipping OnPaging callbacks past maxPageNum (roddy.go:235-238).
+
+    Implementation: ONE fused Arrow pass (mapInPandas) doing vectorized
+    anchor extraction (extract.extract_links_fast, C-regex fast path +
+    HTMLParser fallback) → base-href resolution → child resolve/canonicalize
+    (urlkernel.resolve_series). The page bodies cross into Python exactly
+    once and nothing body-sized is ever shuffled; the output is already the
+    flat candidate shape. Semantics equal the declarative
+    parse→explode→resolve pipeline (pinned by the extractor parity tests +
+    the e2e exact-(url,depth,seq) suite)."""
+    import numpy as np
+    import pandas as pd
+
+    from roddy_spark.extract import extract_links_fast
+    from roddy_spark.functions.urlkernel import resolve_series
+
     html = fetched.filter(
         F.col("success") & ((F.col("content_type") == "text/html")
                             | ((F.col("status") >= 300)
                                & (F.col("status") < 400))))
-    parsed = html.withColumn("parsed", parse_html_udf("body_html"))
-    base = F.coalesce(U.resolve(F.col("url_norm"),
-                                F.col("parsed.base_href")),
-                      F.col("url_norm"))
-    links = (parsed
-             .withColumn("base", base)
-             .select("url_norm", "depth", "seq", "base", "ctx",
-                     F.explode("parsed.links").alias("link")))
-    if not allow_paging:
-        links = links.filter(F.coalesce(F.col("link.rel"), F.lit(""))
-                             != "next")
-    child = U.resolve(F.col("base"), F.col("link.href"))
-    out = (links
-           .withColumn("child", child)
-           .filter(F.col("child").isNotNull())
-           .select(
-               F.col("child").alias("url_norm"),
-               F.when(F.col("link.rel") == "next", F.col("depth"))
-                .otherwise(F.col("depth") + 1).cast("int").alias("depth"),
-               F.when(F.col("link.rel") == "next", F.lit(PRIORITY_PAGING))
-                .otherwise(F.lit(PRIORITY_CHILD)).cast("int").alias("priority"),
-               F.col("seq").alias("parent_seq"),
-               F.col("link.pos").alias("pos"),
-               F.col("ctx")))
-    return out
+    src = html.select("url_norm", "depth", "seq", "ctx", "body_html")
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            base_href, links = extract_links_fast(pdf["body_html"])
+            if not allow_paging and len(links):
+                links = links[links["rel"] != "next"]
+            if not len(links):
+                continue
+            base = resolve_series(pdf["url_norm"], base_href)
+            base = base.where(base.notna(), pdf["url_norm"])
+            page = links["page"].to_numpy()
+            child = resolve_series(
+                base.iloc[page].reset_index(drop=True),
+                links["href"].reset_index(drop=True))
+            is_next = links["rel"].eq("next").to_numpy()
+            pdepth = pdf["depth"].to_numpy()[page]
+            out = pd.DataFrame({
+                "url_norm": child.to_numpy(),
+                "depth": np.where(is_next, pdepth, pdepth + 1)
+                           .astype("int32"),
+                "priority": np.where(is_next, PRIORITY_PAGING,
+                                     PRIORITY_CHILD).astype("int32"),
+                "parent_seq": pdf["seq"].to_numpy()[page],
+                "pos": links["pos"].to_numpy().astype("int32"),
+                "ctx": pdf["ctx"].iloc[page].to_numpy(),
+            })
+            yield out[out["url_norm"].notna()]
+
+    return src.mapInPandas(gen, CANDIDATE_SCHEMA)
 
 
 def extractions(fetched: DataFrame) -> DataFrame:
@@ -222,7 +342,8 @@ class Crawler:
         self.spark = spark
         self.config = config
         self.pages = pages
-        self.store = SnapshotStore(checkpoint_dir)
+        self.store = SnapshotStore(checkpoint_dir,
+                           visited_buckets=config.visited_buckets)
         self.robots_map = robots_map or {}
         self.fetcher = fetcher
         self.max_batches = max_batches
@@ -274,9 +395,15 @@ class Crawler:
             success_count = m["success_count"]
             paging_count = m.get("paging_count", 0)
             batches = m["batches"]
+            # roll back visited rows a killed batch wrote but never
+            # committed (they'd mask the re-run's own re-admissions)
+            store.rollback_visited(batch)
+            if store.visited_buckets and \
+                    spark.catalog.tableExists(store._visited_table):
+                spark.catalog.refreshTable(store._visited_table)
             candidates = store.read(spark, "candidates", batch)
             pending = store.read(spark, "pending", batch)
-            visited = store.read(spark, "visited")
+            visited = store.read_visited(spark)
             n_cand = candidates.count() if candidates is not None else 0
             n_pending = pending.count() if pending is not None else 0
             bloom = (self._build_bloom(visited)
@@ -287,7 +414,13 @@ class Crawler:
             batch = 0
             admitted_count = success_count = paging_count = 0
             batches = []
-            candidates = self._seed_candidates(seeds)
+            # Durably persist the SEED candidates as batch 0 BEFORE the
+            # initial manifest commit: a job killed during batch 1 then
+            # resumes from candidates/batch=0 and restarts at the seeds.
+            # (Committing first would make resume read an absent candidate
+            # table, see n_cand=0 and declare an empty crawl done.)
+            store.write(self._seed_candidates(seeds), "candidates", 0)
+            candidates = store.read(spark, "candidates", 0)
             n_cand = candidates.count()
             pending = None
             n_pending = 0
@@ -317,16 +450,15 @@ class Crawler:
                                  self.robots_map, admitted_count,
                                  num_partitions=self._width(n_cand))
                 obs_adm = Observation(f"adm_{batch}")
-                store.write(admitted.observe(obs_adm,
-                                             F.count(F.lit(1)).alias("n"))
-                            .withColumn("batch", F.lit(batch)),
-                            "visited", batch)
+                store.write_visited(
+                    admitted.observe(obs_adm, F.count(F.lit(1)).alias("n"))
+                    .withColumn("batch", F.lit(batch)), batch)
                 release_rank_caches()
-                admitted = store.read(spark, "visited", batch).drop("batch")
+                admitted = store.read_visited(spark, batch).drop("batch")
                 n_admitted = int(obs_adm.get["n"])
                 admitted_count += n_admitted
                 if bloom is None and self._bloom_active(admitted_count):
-                    bloom = self._build_bloom(store.read(spark, "visited"))
+                    bloom = self._build_bloom(store.read_visited(spark))
                 elif bloom is not None and n_admitted:
                     # per-micro-batch delta merge: distributed per-partition
                     # bitmap build over the batch delta, OR-merged (north
@@ -428,7 +560,7 @@ class Crawler:
             if cfg.per_host_budget:
                 pending = store.read(spark, "pending", batch)
                 n_pending = int(obs_def.get["n"]) if obs_def else 0
-            visited = store.read(spark, "visited")
+            visited = store.read_visited(spark)
 
         final = store.manifest() or {}
         final["done"] = True

@@ -42,6 +42,9 @@ CONFIGS = {
                   ["http://h0.test/"]),
     # force the broadcast-bloom prefilter on (auto only kicks in at 50k
     # visited) so the bloom → anti-join path is oracle-verified end-to-end
+    "bucketed_visited": (CrawlConfig(max_depth=3, per_host_budget=3,
+                                     visited_buckets=8),
+                         default_seeds(WEB)),
     "bloom_forced": (CrawlConfig(max_depth=3, bloom_mode="on"),
                      ["http://h0.test/"]),
 }

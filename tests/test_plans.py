@@ -93,3 +93,79 @@ def test_politeness_single_shuffle_per_phase(spark):
     p = plan_of(to_fetch, mode="simple")
     # phase 1 shuffles on (host, salt), phase 2 on host — exactly 2
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_bucketed_visited_antijoin_no_exchange(spark, tmp_path):
+    """SURVEY §7.4.1 / crawl.py SnapshotStore: with visited_buckets=K the
+    per-batch anti-join must NOT shuffle (or re-sort-free scan) the visited
+    side — one Exchange total, on the batch-sized candidate side, and the
+    visited scan reads bucketed files (Bucketed: true). At 10^10 visited
+    rows this is the difference between a batch-sized shuffle and a
+    history-sized one."""
+    from roddy_spark.plans.crawl import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "ckpt"), visited_buckets=8)
+    base = spark.range(0, 2000).select(
+        F.concat(F.lit("http://h0.test/p/"),
+                 F.col("id").cast("string")).alias("url_norm"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("h0.test").alias("host"), F.lit(1).alias("depth"),
+        F.lit(1).alias("priority"), F.col("id").alias("seq"),
+        F.create_map().cast("map<string,string>").alias("ctx"),
+        F.lit(1).alias("batch"))
+    store.write_visited(base, 1)
+    store.write_visited(base.withColumn("batch", F.lit(2))
+                        .withColumn("seq", F.col("seq") + 2000), 2)
+    visited = store.read_visited(spark)
+    assert visited.count() == 4000
+    assert store.read_visited(spark, 2).count() == 2000
+
+    cand = spark.range(0, 500).select(
+        F.xxhash64((F.col("id") * 3)).alias("url_hash"))
+    # force the SMJ path (at real scale visited never broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cand.join(visited.select("url_hash"), "url_hash",
+                           "left_anti")
+        p = plan_of(joined)
+        assert "Bucketed: true" in p, p
+        # exactly one Exchange node — the candidate side; none above the
+        # scan ("simple" mode prints each node once)
+        n_exchange = plan_of(joined, "simple").count("Exchange")
+        assert n_exchange == 1, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
+def test_bucketed_antijoin_stage_flat_as_visited_grows(spark, tmp_path):
+    """The visited-side cost of the anti-join must not grow with history:
+    the planned shuffle (Exchange) stays on the candidate side at every
+    batch, so shuffled bytes are O(batch), not O(visited)."""
+    from roddy_spark.plans.crawl import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "ckpt2"), visited_buckets=4)
+    cand = spark.range(0, 200).select(
+        F.xxhash64((F.col("id") * 7)).alias("url_hash"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for b in range(1, 4):
+            df = spark.range((b - 1) * 1000, b * 1000).select(
+                F.concat(F.lit("u"), F.col("id").cast("string"))
+                .alias("url_norm"),
+                F.xxhash64("id").alias("url_hash"),
+                F.lit("h").alias("host"), F.lit(1).alias("depth"),
+                F.lit(1).alias("priority"), F.col("id").alias("seq"),
+                F.create_map().cast("map<string,string>").alias("ctx"),
+                F.lit(b).alias("batch"))
+            store.write_visited(df, b)
+            visited = store.read_visited(spark)
+            j = cand.join(visited.select("url_hash"), "url_hash",
+                          "left_anti")
+            p = plan_of(j)
+            assert plan_of(j, "simple").count("Exchange") == 1 \
+                and "Bucketed: true" in p, \
+                f"batch {b}: visited side acquired a shuffle\n{p}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))

@@ -57,3 +57,56 @@ def test_hash_injective_on_distinct_canonicals(a, b):
         return
     if ca == cb:
         assert url_hash(ca) == url_hash(cb)
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast path ≡ scalar kernel (the invariant that makes the regex
+# fast path safe: a false positive there would be a wrong answer, so the
+# Series versions must match the scalar kernel ELEMENTWISE on any input)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from roddy_spark.functions.urlkernel import (canonicalize_series,
+                                             resolve_series)
+
+# extra adversarial material aimed at the fast-path regex boundaries:
+# default/odd ports, dot segments, empty query/fragment, stray %, case
+_edgey = st.one_of(
+    st.from_regex(
+        r"https?://[a-z0-9.\-]{1,12}(:[0-9]{1,5})?/[A-Za-z0-9./%?#=&_~-]{0,24}",
+        fullmatch=True),
+    st.sampled_from([
+        "http://a.test/x?", "http://a.test/x#", "http://a.test:80/x",
+        "https://a.test:443/x", "http://a.test:08080/", "http://a.test./",
+        "http://a.test/a/../b", "http://a.test/a/./b", "http://a.test/..",
+        "http://a.test/%7Euser", "http://a.test/a%2fb", "http://a.test/a%b",
+        "http://user@a.test/", "http://a.test:99999/", "http://a..test/x",
+    ]))
+
+
+@given(st.lists(st.one_of(_urls, _garbage, _edgey, st.none()), max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_series_matches_scalar(vals):
+    got = canonicalize_series(pd.Series(vals, dtype="object"))
+    want = [canonicalize_url(v) for v in vals]
+    assert list(got) == want
+
+
+_hrefs = st.one_of(
+    _urls, _garbage, st.none(),
+    st.from_regex(r"(/|//|\.\./|\./)?[A-Za-z0-9._\-/]{0,20}(\?[a-z=&]{0,8})?"
+                  r"(#[a-z]{0,6})?", fullmatch=True),
+    st.sampled_from(["#frag", "?q=1", "mailto:x@y.z", "javascript:void(0)",
+                     "//other.test/p", ".", "..", "p/1", "\t/p/2\n"]))
+
+
+@given(st.lists(st.tuples(st.one_of(_urls, _edgey, st.none()), _hrefs),
+                max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_resolve_series_matches_scalar(pairs):
+    base = pd.Series([p[0] for p in pairs], dtype="object")
+    href = pd.Series([p[1] for p in pairs], dtype="object")
+    got = resolve_series(base, href)
+    want = [resolve_url(b, h) for b, h in pairs]
+    assert list(got) == want

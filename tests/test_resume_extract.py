@@ -168,3 +168,104 @@ def test_phash_near_duplicates(spark):
     for i in range(5):
         a, b = f"img{i:08d}", f"img{i:08d}_dup"
         assert (a, b) in got or (b, a) in got, f"missed planted dup {i}"
+
+
+ADVERSARIAL_HTML = [
+    '<a href="/p/1">x</a><a href="/p/2" rel="next">y</a>',
+    '<!DOCTYPE html><html><head><title>t</title><base href="/deep2/"/>'
+    '</head><body><a href="p/3">c</a></body></html>',
+    '<a href="/a?x=1&amp;y=2">q</a>',
+    '<a href="/a" href="/b">dup attr (fallback, last wins)</a>',
+    "<a href='/sq'>single quotes (fallback)</a>",
+    '<a href=/unq>unquoted (fallback)</a>',
+    '<!-- <a href="/ghost">g</a> --><a href="/real">r</a>',
+    '<script>var a = \'<a href="/js">\';</script><a href="/ok">o</a>',
+    '<a name="anchor">no href</a><a href="/h">h</a>',
+    '<A HREF="/UP" REL="NEXT">uppercase tag</A>',
+    '<a\nhref="/nl"\trel="x">whitespace in tag</a>',
+    '<a href="">empty href</a>',
+    '<a href="/gt>weird">gt in value (fallback)</a>',
+    '<base href="/b1"/><base href="/b2"/><a href="x">first base wins</a>',
+    '<a href="/&auml;">named entity</a>',
+    '<a href="/&#65;">charref</a>',
+    '<a rel="next" href="/revorder">attr order</a>',
+    '<a data-x="1" href="/data">extra attrs</a>',
+    '<a href="/a"><a href="/b">nested</a></a>',
+    '<p class="description">no anchors</p>',
+    None,
+    "",
+]
+
+
+def test_extract_links_fast_parity_adversarial():
+    """The C-regex fast path must agree with the HTMLParser reference on
+    every construct that could fool a regex — fooling cases must FALL BACK,
+    not diverge (extract.py fast-path contract)."""
+    import pandas as pd
+
+    from roddy_spark.extract import extract_links_fast, parse_html
+
+    s = pd.Series(ADVERSARIAL_HTML, dtype="object")
+    base, links = extract_links_fast(s)
+    for i, h in enumerate(ADVERSARIAL_HTML):
+        r = parse_html(h)
+        want_base = r["base_href"] if r else None
+        want = [(lk["href"], lk["rel"], lk["pos"])
+                for lk in (r["links"] if r else [])]
+        sub = links[links["page"] == i]
+        got = list(zip(sub["href"], sub["rel"], sub["pos"]))
+        assert base[i] == want_base, f"case {i}: base {base[i]!r}"
+        assert got == want, f"case {i}: {h!r}: {got} != {want}"
+
+
+def test_extract_links_fast_parity_synthweb(spark, web):
+    """Fast extractor == HTMLParser on every synthetic-web page (the bodies
+    the e2e suite crawls, including the torture fixtures)."""
+    from roddy_spark.extract import extract_links_fast, parse_html
+
+    _, web_df = web
+    pdf = web_df.select("body_html").toPandas()
+    base, links = extract_links_fast(pdf["body_html"])
+    for i, h in enumerate(pdf["body_html"]):
+        r = parse_html(h)
+        want = [(lk["href"], lk["rel"], lk["pos"])
+                for lk in (r["links"] if r else [])]
+        sub = links[links["page"] == i]
+        got = list(zip(sub["href"], sub["rel"], sub["pos"]))
+        assert got == want and base[i] == (r["base_href"] if r else None), \
+            f"page {i} diverged"
+
+
+@pytest.mark.parametrize("buckets", [0, 8])
+def test_resume_after_kill_during_first_batch(spark, web, tmp_path, buckets):
+    """A job killed MID-batch-1 (after mark-at-admission wrote visited, before
+    the manifest committed) must resume from the durable seed candidates and
+    produce the same final state as an uninterrupted run — neither a silent
+    empty crawl (seeds never persisted) nor a self-masked one (uncommitted
+    visited rows surviving into the resume). Covers both the plain and the
+    bucketed visited layouts (SnapshotStore.rollback_visited)."""
+    _, pages_df = web
+    cfg = CrawlConfig(max_depth=2, visited_buckets=buckets)
+    seeds = ["http://h0.test/", "http://h1.test/"]
+    ckpt = str(tmp_path / f"kill_b{buckets}")
+
+    from roddy_spark.plans.crawl import SnapshotStore
+
+    def dying_fetcher(to_fetch, pages, **kw):
+        raise RuntimeError("killed during batch 1 fetch")
+
+    with pytest.raises(RuntimeError):
+        Crawler(spark, cfg, pages_df, ckpt,
+                fetcher=dying_fetcher).run(seeds)
+    m = SnapshotStore(ckpt).manifest()
+    assert m["completed_batch"] == 0 and not m["done"]
+
+    state = Crawler(spark, cfg, pages_df, ckpt).run(resume=True)
+    full = Crawler(spark, cfg, pages_df,
+                   str(tmp_path / f"full_b{buckets}")).run(seeds)
+    got = [(r["url_norm"], r["depth"], r["seq"]) for r in
+           state.visited(spark).orderBy("seq").collect()]
+    exp = [(r["url_norm"], r["depth"], r["seq"]) for r in
+           full.visited(spark).orderBy("seq").collect()]
+    assert got == exp and got, "resume after mid-batch kill diverged"
+    assert state.success_count == full.success_count
