@@ -54,6 +54,12 @@ class CrawlConfig:
     # than maintaining the filter); 'on'/'off' force it
     bloom_mode: str = "auto"
     bloom_min_visited: int = 50_000
+    # per-shard bitmap budget for the sharded visited filter: shard count =
+    # ceil(total_filter_bytes / this). At the default 128 MiB a 10^9-key
+    # filter splits into ~10 shards, each built/merged independently with
+    # constant driver memory (operators/dedup.py ShardedBloom). Tests force
+    # multi-shard behavior in-sandbox by shrinking this.
+    bloom_max_shard_bytes: int = 128 << 20
     # visited-table layout: 0 = plain per-batch parquet; K > 0 = a bucketed
     # table CLUSTERED BY pmod(url_hash) INTO K buckets (Iceberg bucket-
     # transform stand-in), so the per-batch anti-join never shuffles the

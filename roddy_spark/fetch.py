@@ -128,5 +128,6 @@ def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict,
 
 
 def page_lookup_from_pandas(pdf) -> dict:
-    return {r["url"]: (int(r["status"]), r["content_type"], r["body_html"])
-            for _, r in pdf.iterrows()}
+    return {u: (int(st), ct, bh) for u, st, ct, bh in zip(
+        pdf["url"].to_list(), pdf["status"].to_list(),
+        pdf["content_type"].to_list(), pdf["body_html"].to_list())}

@@ -231,7 +231,14 @@ def canonicalize_url(raw: str | None) -> str | None:
     host = parts.hostname
     if not host:
         return None
+    # INTENTIONAL normalization (diverges from WHATWG, which preserves
+    # trailing dots): 'example.com.' is the same origin as 'example.com'
+    # for crawl-dedup purposes, and stripping ALL trailing dots keeps the
+    # canonical form a fixed point (strip-one would make 'a..' → 'a.' → 'a'
+    # non-idempotent). Golden-pinned in test_urlkernel.py.
     host = host.lower().rstrip(".")
+    if not host:
+        return None
     if not host.isascii():
         # WHATWG punycodes unicode hosts (IDNA); stdlib codec covers the
         # common cases — unencodable labels fall back to the lowercased form
@@ -243,6 +250,10 @@ def canonicalize_url(raw: str | None) -> str | None:
         port = parts.port  # validates numeric range
     except ValueError:
         return None
+    if ":" in host:
+        # IPv6 literal: parts.hostname strips the brackets — re-bracket or
+        # the port would be unparseable on re-parse ('http://::1:8080/')
+        host = f"[{host}]"
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

@@ -25,7 +25,7 @@ from roddy_spark.config import CrawlConfig
 from roddy_spark.functions import urls as U
 from roddy_spark.operators.dedup import dedup_against, first_occurrence
 from roddy_spark.operators.rank import ordered_seq
-from roddy_spark.robots import robots_allowed
+from roddy_spark.robots import robots_allowed, robots_path_of
 
 
 def admit(candidates: DataFrame, config: CrawlConfig,
@@ -75,8 +75,7 @@ def admit(candidates: DataFrame, config: CrawlConfig,
                 if not rules:
                     out.append(True)
                     continue
-                path = u.split(h, 1)[1] if h and h in u else "/"
-                out.append(robots_allowed(rules, path))
+                out.append(robots_allowed(rules, robots_path_of(u)))
             return pd.Series(out)
 
         df = df.filter(robots_ok(F.col("host"), F.col("url_norm")))

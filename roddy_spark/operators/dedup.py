@@ -115,12 +115,37 @@ def bloom_from_hashes_df(df: DataFrame, capacity: int, fpp: float = 0.01,
 
 class ShardedBloom:
     """Bloom sharded by pmod(hash, n_shards) — the 10^10-scale layout: each
-    shard stays broadcast-size and shards are delta-merged independently."""
+    shard stays bounded (≤ ``max_shard_bytes``), shards are built and
+    delta-merged independently, and the driver-side merge touches ONE shard
+    bitmap at a time (constant memory per merge step regardless of total
+    filter size)."""
 
-    def __init__(self, capacity: int, fpp: float = 0.01, n_shards: int = 1):
+    DEFAULT_MAX_SHARD_BYTES = 128 << 20
+
+    @staticmethod
+    def shards_for(capacity: int, fpp: float = 0.01,
+                   max_shard_bytes: int | None = None) -> int:
+        """Shard count so each shard's bitmap stays under the byte budget
+        (10^9 keys @ 1% fpp ≈ 1.2 GiB total → 10 shards at 128 MiB)."""
+        max_b = max_shard_bytes or ShardedBloom.DEFAULT_MAX_SHARD_BYTES
+        total_bytes = Bloom(max(capacity, 1), fpp).m // 8
+        return max(1, -(-total_bytes // max_b))
+
+    def __init__(self, capacity: int, fpp: float = 0.01,
+                 n_shards: int | None = None,
+                 max_shard_bytes: int | None = None):
+        if n_shards is None:
+            n_shards = self.shards_for(capacity, fpp, max_shard_bytes)
         self.n_shards = max(1, n_shards)
         per = max(1024, capacity // self.n_shards)
         self.shards = [Bloom(per, fpp) for _ in range(self.n_shards)]
+
+    def merge(self, other: "ShardedBloom") -> None:
+        """Delta merge, shard-wise (one bitmap OR at a time)."""
+        if other.n_shards != self.n_shards:
+            raise ValueError("shard count mismatch")
+        for mine, theirs in zip(self.shards, other.shards):
+            mine.merge(theirs)
 
     def _split(self, hashes: np.ndarray) -> np.ndarray:
         return (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(int)
@@ -140,6 +165,50 @@ class ShardedBloom:
             if mask.any():
                 out[mask] = self.shards[s].might_contain(hashes[mask])
         return out
+
+
+def sharded_bloom_from_hashes_df(df: DataFrame, capacity: int,
+                                 fpp: float = 0.01,
+                                 n_shards: int | None = None,
+                                 max_shard_bytes: int | None = None,
+                                 hash_col: str = "url_hash") -> ShardedBloom:
+    """Distributed ShardedBloom build. Rows are repartitioned by
+    ``pmod(hash, n_shards)`` so every shard's keys land in ONE partition;
+    each partition emits (shard, bitmap) rows for the shards it owns, and
+    the driver ORs them ONE AT A TIME via ``toLocalIterator`` — peak driver
+    memory = the assembled filter + a single shard bitmap, and total driver
+    traffic = n_shards × shard_bytes = the filter size, independent of row
+    count. This is the 10^10-scale build the single-bitmap
+    ``bloom_from_hashes_df`` (driver traffic = partitions × full bitmap)
+    cannot do."""
+    proto = ShardedBloom(capacity, fpp, n_shards, max_shard_bytes)
+    k_shards = proto.n_shards
+    m, k = proto.shards[0].m, proto.shards[0].k
+
+    shard = F.pmod(F.col(hash_col), F.lit(k_shards)).cast("int")
+    rep = (df.select(F.col(hash_col), shard.alias("__shard"))
+             .repartition(k_shards, "__shard"))
+
+    def build(batches):
+        local: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("__shard"):
+                bits = local.get(int(s))
+                if bits is None:
+                    bits = local.setdefault(int(s),
+                                            np.zeros(m // 8, dtype=np.uint8))
+                b = Bloom.__new__(Bloom)
+                b.m, b.k, b.bits = m, k, bits
+                b.add(grp[hash_col].to_numpy(dtype=np.int64))
+        for s, bits in local.items():
+            yield pd.DataFrame({"shard": [s], "bits": [bits.tobytes()]})
+
+    it = rep.mapInPandas(build, "shard int, bits binary").toLocalIterator()
+    for row in it:
+        np.bitwise_or(proto.shards[row["shard"]].bits,
+                      np.frombuffer(row["bits"], dtype=np.uint8),
+                      out=proto.shards[row["shard"]].bits)
+    return proto
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: "ShardedBloom | Bloom",

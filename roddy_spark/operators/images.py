@@ -47,15 +47,20 @@ def decode_validate(corpus: DataFrame) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                rec = {"image_id": r["image_id"], "fmt": r["fmt"],
-                       "w": int(r["w"]), "h": int(r["h"]),
+            # column-zip iteration, not iterrows(): per-row Series
+            # construction costs 10-50x the loop body's bookkeeping
+            for image_id, buf, w, h, fmt, phash in zip(
+                    pdf["image_id"].to_list(), pdf["bytes"].to_list(),
+                    pdf["w"].to_list(), pdf["h"].to_list(),
+                    pdf["fmt"].to_list(), pdf["phash"].to_list()):
+                rec = {"image_id": image_id, "fmt": fmt,
+                       "w": int(w), "h": int(h),
                        "decoded_w": None, "decoded_h": None,
-                       "dims_ok": False, "phash": int(r["phash"]),
+                       "dims_ok": False, "phash": int(phash),
                        "phash_recomputed": None, "phash_ok": False,
                        "mean_luma": None, "decode_error": None}
                 try:
-                    px = codecs.decode_image(bytes(r["bytes"]))
+                    px = codecs.decode_image(bytes(buf))
                     rec["decoded_h"], rec["decoded_w"] = int(px.shape[0]), int(px.shape[1])
                     rec["dims_ok"] = (rec["decoded_w"] == rec["w"]
                                       and rec["decoded_h"] == rec["h"])
@@ -63,7 +68,7 @@ def decode_validate(corpus: DataFrame) -> DataFrame:
                     rec["phash_recomputed"] = ph
                     # lossy decode may flip a few borderline DCT bits
                     rec["phash_ok"] = codecs.hamming64(
-                        ph, int(r["phash"])) <= 4
+                        ph, int(phash)) <= 4
                     rec["mean_luma"] = float(px.mean())
                 except NotImplementedError as e:
                     rec["decode_error"] = f"stubbed: {e}"

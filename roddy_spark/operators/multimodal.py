@@ -158,12 +158,13 @@ def resize_images(corpus: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                px = codecs.decode_image(bytes(r["bytes"]))
+            for image_id, buf in zip(pdf["image_id"].to_list(),
+                                     pdf["bytes"].to_list()):
+                px = codecs.decode_image(bytes(buf))
                 yi = (np.arange(out_h) * px.shape[0]) // out_h
                 xi = (np.arange(out_w) * px.shape[1]) // out_w
                 small = px[yi][:, xi]
-                out.append({"image_id": r["image_id"],
+                out.append({"image_id": image_id,
                             "bytes": codecs.encode_png(small),
                             "w": out_w, "h": out_h})
             yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
@@ -184,14 +185,15 @@ def image_features(corpus: DataFrame, bins_per_channel: int = 4) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                px = codecs.decode_image(bytes(r["bytes"]))
+            for image_id, buf in zip(pdf["image_id"].to_list(),
+                                     pdf["bytes"].to_list()):
+                px = codecs.decode_image(bytes(buf))
                 feats = []
                 for c in range(3):
                     h, _ = np.histogram(px[:, :, c], bins=bins_per_channel,
                                         range=(0, 256))
                     feats.extend((h / h.sum()).astype(np.float32))
-                out.append({"image_id": r["image_id"], "features": feats})
+                out.append({"image_id": image_id, "features": feats})
             yield pd.DataFrame(out, columns=["image_id", "features"])
 
     return corpus.select("image_id", "bytes").mapInPandas(run, FEATURE_SCHEMA)
@@ -213,12 +215,13 @@ def audio_features(media: DataFrame) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                rec = {"media_id": r["media_id"], "duration_s": None,
+            for media_id, buf in zip(pdf["media_id"].to_list(),
+                                     pdf["bytes"].to_list()):
+                rec = {"media_id": media_id, "duration_s": None,
                        "rms": None, "zero_crossing_rate": None,
                        "peak": None, "decode_error": None}
                 try:
-                    samples, rate = decode_audio(bytes(r["bytes"]))
+                    samples, rate = decode_audio(bytes(buf))
                     rec["duration_s"] = round(len(samples) / rate, 4)
                     rec["rms"] = float(np.sqrt(np.mean(samples ** 2)))
                     rec["zero_crossing_rate"] = float(
@@ -250,13 +253,14 @@ def video_frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["bytes"])
+            for media_id, buf in zip(pdf["media_id"].to_list(),
+                                     pdf["bytes"].to_list()):
+                data = bytes(buf)
                 fps = video_fps(data)
                 for idx, px in decode_video_frames(data):
                     if idx % every_k:
                         continue
-                    out.append({"media_id": r["media_id"], "frame_idx": idx,
+                    out.append({"media_id": media_id, "frame_idx": idx,
                                 "ts_ms": int(idx * 1000 / fps),
                                 "png": codecs.encode_png(px),
                                 "phash": codecs.phash64(px)})

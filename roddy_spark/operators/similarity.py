@@ -72,6 +72,19 @@ def _lsh_bits(vec: Column, dim: int, n_planes: int) -> Column:
     return bits
 
 
+def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """Multi-probe LSH XOR masks: the exact bucket plus every bucket within
+    ``probe_bits`` sign-bit flips."""
+    from itertools import combinations
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [(1 << p) | (1 << q)
+                  for p, q in combinations(range(n_planes), 2)]
+    return masks
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_planes: int = 8, dim: int = 64, id_col: str = "vec_id",
              vec_col: str = "embedding", probe_bits: int = 2) -> DataFrame:
@@ -90,13 +103,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = with_sig(corpus, "nid", "nv").withColumnRenamed("sig", "bucket")
     q = with_sig(queries, "qid", "qv")
     # probe the exact bucket plus all ≤probe_bits-flip neighbors
-    from itertools import combinations
-    masks = [0]
-    if probe_bits >= 1:
-        masks += [1 << p for p in range(n_planes)]
-    if probe_bits >= 2:
-        masks += [(1 << p) | (1 << q)
-                  for p, q in combinations(range(n_planes), 2)]
+    masks = _probe_masks(n_planes, probe_bits)
     probes = F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
     qp = q.select("qid", "qv", F.explode(probes).alias("bucket"))
     scored = (c.join(F.broadcast(qp), "bucket")
@@ -111,17 +118,29 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ threshold) via the same LSH
-    bucketing: at 0.99 the two vectors almost surely share the exact
-    bucket; verification is exact cosine. Returns (id_a, id_b, sim)."""
+                          n_planes: int = 8, dim: int = 64,
+                          probe_bits: int = 2) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via multi-probe
+    LSH bucketing: side A explodes to every bucket within ``probe_bits``
+    sign-bit flips of its own, so a genuine near-dup pair whose vectors
+    straddle up to ``probe_bits`` hyperplanes still meets in a bucket (a
+    single exact-bucket match would silently miss it). Verification is
+    exact cosine; the probe explosion bounds candidates at
+    ~(1+C(n,1)+C(n,2))/2^n of the all-pairs space. Analytical recall at
+    n_planes=8, probe_bits=2: ≥0.96 for cosine ≥0.95, ≥0.98 at 0.99
+    (pinned empirically vs brute force in test_pipeline_ops).
+    Returns (id_a, id_b, sim)."""
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                    _lsh_bits(F.col(vec_col), dim, n_planes).alias("bucket"))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+                    _lsh_bits(F.col(vec_col), dim, n_planes).alias("sig"))
+    masks = _probe_masks(n_planes, probe_bits)
+    probes = F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+    a = (sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.explode(probes).alias("bucket")))
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("sig").alias("bucket"))
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("sim", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("sim") >= threshold)
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.round("sim", 4).alias("sim")))
+            .select("id_a", "id_b", F.round("sim", 4).alias("sim")))

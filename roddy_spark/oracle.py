@@ -40,7 +40,8 @@ from dataclasses import dataclass, field
 from roddy_spark.config import CrawlConfig
 from roddy_spark.functions.urlkernel import (canonicalize_url, resolve_url,
                                              url_hash, url_host)
-from roddy_spark.robots import build_robots_map, robots_allowed
+from roddy_spark.robots import (build_robots_map, robots_allowed,
+                                robots_path_of)
 
 PRIORITY_PAGING = 0   # rel="next" links — scheduled before children (D8)
 PRIORITY_CHILD = 1
@@ -58,6 +59,9 @@ class OracleResult:
     # url_norm → inherited Context map at admission (context.go:8-52)
     ctx_by_url: dict = field(default_factory=dict)
     paging_count: int = 0
+    # hook channels: rows that flow to OnError / OnScraped, in fetch order
+    errors: list[dict] = field(default_factory=list)
+    scraped: list[dict] = field(default_factory=list)
 
     @property
     def visited_urls(self) -> set[str]:
@@ -71,7 +75,8 @@ class OracleResult:
 def crawl_oracle(pages: dict[str, dict], seeds: list,
                  config: CrawlConfig,
                  robots_rows: list[tuple[str, str]] | None = None,
-                 max_batches: int = 200, on_request=None) -> OracleResult:
+                 max_batches: int = 200, on_request=None,
+                 on_response=None) -> OracleResult:
     """pages: url_norm → {status:int, content_type:str, base_href:str|None,
     links:[{href,text,pos,rel}]} (the synthetic-web table, collected)."""
     res = OracleResult()
@@ -124,8 +129,7 @@ def crawl_oracle(pages: dict[str, dict], seeds: list,
                 reject("domain_allow")
                 continue
             if config.respect_robots and host in robots:
-                path = url.split(host, 1)[1] if host in url else "/"
-                if not robots_allowed(robots[host], path):
+                if not robots_allowed(robots[host], robots_path_of(url)):
                     reject("robots")
                     continue
             h = url_hash(url)
@@ -176,6 +180,11 @@ def crawl_oracle(pages: dict[str, dict], seeds: list,
             page = pages.get(url)
             status = page["status"] if page else 404
             ok = page is not None and status < 400
+            # OnResponse: a dropped successful response is suppressed —
+            # not recorded, not counted, never extracted (engine parity)
+            if ok and on_response is not None and \
+                    not on_response(url, depth, ctx):
+                continue
             res.fetches.append({"url_norm": url, "depth": depth, "seq": seq,
                                 "status": status, "success": ok,
                                 "batch": batch_id})
@@ -184,8 +193,13 @@ def crawl_oracle(pages: dict[str, dict], seeds: list,
                 success_count += 1
                 if prio == PRIORITY_PAGING:
                     res.paging_count += 1
+                res.scraped.append({"url_norm": url, "depth": depth,
+                                    "seq": seq, "batch": batch_id})
             else:
                 n_failure += 1
+                res.errors.append({"url_norm": url, "depth": depth,
+                                   "seq": seq, "status": status,
+                                   "batch": batch_id})
                 continue
             if page["content_type"] != "text/html" and not (
                     300 <= status < 400):

@@ -504,6 +504,50 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9999
 """
 
 
+def q_phash_banding(spark, sf_dir):
+    """The banded hamming-join behind ``phash_neardup``, on an int64 column
+    DERIVED from testdata (md5-based 60-bit pseudo-phashes + planted ≤2-bit
+    twins) so DuckDB can oracle the join logic exactly — the rows-only
+    binary-decode query then only adds the codec. max_hamming=3 < 4 bands →
+    pigeonhole makes banding EXACT, so the all-pairs SQL twin is the
+    semantic spec, not an approximation."""
+    from roddy_spark.operators.images import phash_near_duplicates
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ph = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long")
+    base = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        .alias("image_id"), ph.alias("phash"))
+    flip1 = F.expr("shiftleft(1L, CAST(doc_id % 60 AS INT))")
+    flip2 = F.expr("shiftleft(1L, CAST((doc_id * 7) % 60 AS INT))")
+    twins = (docs.filter(F.col("doc_id") < 50)
+             .select(F.concat(F.lit("t"), F.col("doc_id").cast("string"))
+                     .alias("image_id"),
+                     ph.bitwiseXOR(flip1).bitwiseXOR(flip2).alias("phash")))
+    allp = base.unionByName(twins)
+    return (phash_near_duplicates(allp, max_hamming=3, band_bits=16)
+            .select("a", "b", F.col("hamming").cast("int").alias("hamming")))
+
+
+SQL_PHASH_BANDING = """
+WITH ph AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS image_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS phash
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 't' || CAST(doc_id AS VARCHAR),
+         xor(xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 (1::BIGINT << (doc_id % 60))),
+             (1::BIGINT << ((doc_id * 7) % 60)))
+  FROM documents WHERE doc_id < 50)
+SELECT a.image_id AS a, b.image_id AS b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _read(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") < 5)
@@ -730,6 +774,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
+    "phash_banding": q_phash_banding,
     "ann_topk": q_ann_topk,
     "sessionize": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
@@ -764,6 +809,7 @@ ORACLES = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "phash_banding": SQL_PHASH_BANDING,
     "ann_topk": SQL_ANN_TOPK,
     "sessionize": SQL_SESSIONIZE,
     "hourly_rollup": SQL_HOURLY_ROLLUP,

@@ -42,7 +42,7 @@ from roddy_spark.extract import parse_html_udf
 from roddy_spark.fetch import fetch_join
 from roddy_spark.functions import urls as U
 from roddy_spark.operators.admission import admit
-from roddy_spark.operators.dedup import Bloom
+from roddy_spark.operators.dedup import ShardedBloom
 from roddy_spark.operators.politeness import politeness_split
 from roddy_spark.operators.rank import release_rank_caches
 
@@ -229,6 +229,14 @@ class CrawlState:
     def metrics(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read(spark, "metrics")
 
+    def errors(self, spark: SparkSession) -> DataFrame | None:
+        """on_error hook output across batches (roddy's OnError channel)."""
+        return self.store.read(spark, "errors")
+
+    def scraped(self, spark: SparkSession) -> DataFrame | None:
+        """on_scraped hook output across batches (roddy's OnScraped)."""
+        return self.store.read(spark, "scraped")
+
     def order(self, spark: SparkSession) -> list[str]:
         return [r["url_norm"] for r in
                 self.visited(spark).orderBy("seq").collect()]
@@ -338,6 +346,7 @@ class Crawler:
                  pages: DataFrame, checkpoint_dir: str,
                  robots_map: dict | None = None, fetcher=fetch_join,
                  max_batches: int = 200, on_request=None,
+                 on_response=None, on_error=None, on_scraped=None,
                  write_metrics: bool = True):
         self.spark = spark
         self.config = config
@@ -347,10 +356,27 @@ class Crawler:
         self.robots_map = robots_map or {}
         self.fetcher = fetcher
         self.max_batches = max_batches
-        # OnRequest hook (roddy.go:360-370 / abort, roddy.go:206-208): a
-        # DataFrame→DataFrame transform applied between admission and fetch;
-        # rows it filters out are ABORTED — they stay visited, never fetch
+        # User hook surface — the reference's callback registry
+        # (roddy.go:360-483) as DataFrame→DataFrame transform slots, fired
+        # per batch in the reference's order (roddy.go:185-248):
+        # OnRequest → fetch → OnError / OnResponse → expansion → OnScraped.
+        #   on_request: between admission and fetch; rows it filters out
+        #     are ABORTED — stay visited, never fetch (roddy.go:206-208).
+        #   on_response: over the batch's SUCCESSFUL fetches before they
+        #     persist/expand; must preserve the schema. Rows it drops are
+        #     suppressed — excluded from the fetches table, counters and
+        #     link expansion (engine extension; roddy's OnResponse cannot
+        #     abort).
+        #   on_error: over the batch's FAILED fetches; its result (any
+        #     schema) persists to the ``errors`` table — the durable analog
+        #     of roddy's OnError channel.
+        #   on_scraped: over the batch's successful fetches AFTER expansion
+        #     (the reference fires OnScraped last, roddy.go:241-247);
+        #     result (any schema) persists to the ``scraped`` table.
         self.on_request = on_request
+        self.on_response = on_response
+        self.on_error = on_error
+        self.on_scraped = on_scraped
         self.write_metrics = write_metrics
 
     # -- state helpers -------------------------------------------------
@@ -375,14 +401,19 @@ class Crawler:
                   .select("url_norm", "depth", "priority", "parent_seq",
                           "pos", "ctx"))
 
-    def _build_bloom(self, visited: DataFrame | None) -> Bloom:
+    def _build_bloom(self, visited: DataFrame | None) -> ShardedBloom:
+        """Sharded visited filter: shard count derives from bloom_capacity
+        (ceil(filter_bytes / bloom_max_shard_bytes)), so at 10^10-key
+        capacity every shard stays bounded and the distributed build merges
+        one shard bitmap at a time on the driver (constant memory)."""
+        cfg = self.config
         if visited is None:
-            return Bloom(self.config.bloom_capacity, self.config.bloom_fpp)
-        # distributed build: per-partition bitmaps OR-merged driver-side;
-        # driver traffic is partitions × bitmap size, independent of rows
-        from roddy_spark.operators.dedup import bloom_from_hashes_df
-        return bloom_from_hashes_df(visited, self.config.bloom_capacity,
-                                    self.config.bloom_fpp)
+            return ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp,
+                                max_shard_bytes=cfg.bloom_max_shard_bytes)
+        from roddy_spark.operators.dedup import sharded_bloom_from_hashes_df
+        return sharded_bloom_from_hashes_df(
+            visited, cfg.bloom_capacity, cfg.bloom_fpp,
+            max_shard_bytes=cfg.bloom_max_shard_bytes)
 
     # -- main loop ------------------------------------------------------
     def run(self, seeds: list[str] | None = None,
@@ -425,7 +456,7 @@ class Crawler:
             pending = None
             n_pending = 0
             visited = None
-            bloom = (Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+            bloom = (self._build_bloom(None)
                      if self._bloom_active(0) else None)
             store.commit_manifest({
                 "completed_batch": 0, "admitted_count": 0,
@@ -460,13 +491,14 @@ class Crawler:
                 if bloom is None and self._bloom_active(admitted_count):
                     bloom = self._build_bloom(store.read_visited(spark))
                 elif bloom is not None and n_admitted:
-                    # per-micro-batch delta merge: distributed per-partition
-                    # bitmap build over the batch delta, OR-merged (north
-                    # rule's cuckoo/bloom delta-merge per micro-batch)
+                    # per-micro-batch delta merge: distributed per-shard
+                    # bitmap build over the batch delta, shard-wise OR
+                    # (north rule's cuckoo/bloom delta-merge per micro-batch)
                     from roddy_spark.operators.dedup import \
-                        bloom_from_hashes_df
-                    bloom.merge(bloom_from_hashes_df(
-                        admitted, cfg.bloom_capacity, cfg.bloom_fpp))
+                        sharded_bloom_from_hashes_df
+                    bloom.merge(sharded_bloom_from_hashes_df(
+                        admitted, cfg.bloom_capacity, cfg.bloom_fpp,
+                        n_shards=bloom.n_shards))
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
@@ -509,6 +541,13 @@ class Crawler:
                 "error_effective",
                 F.when(err.isin(*cfg.ignored_errors), F.lit(None))
                  .otherwise(err) if cfg.ignored_errors else err)
+            # OnResponse slot: reshape/drop successful responses before they
+            # persist; dropped rows are suppressed (never stored/expanded/
+            # counted). Fired BEFORE the counters observe, by design.
+            if self.on_response is not None:
+                kept = self.on_response(fetched.filter(F.col("success")))
+                fetched = kept.select(*fetched.columns).unionByName(
+                    fetched.filter(~F.col("success")))
             fetched = fetched.observe(
                 obs_f, F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("success").cast("long")).alias("ok"),
@@ -532,6 +571,13 @@ class Crawler:
                 from roddy_spark.streaming.events import fetch_rate_metrics
                 store.write(fetch_rate_metrics(fetched), "metrics", batch)
 
+            # 3c. OnError slot (roddy.go:332-345): failed fetches → the
+            # durable errors table; reads the already-persisted fetches
+            # snapshot, so nothing is recomputed
+            if self.on_error is not None:
+                store.write(self.on_error(
+                    fetched.filter(~F.col("success"))), "errors", batch)
+
             # 4. expansion → next batch's candidates (paging gated by F11)
             allow_paging = not (cfg.max_page_num
                                 and paging_count >= cfg.max_page_num)
@@ -541,6 +587,12 @@ class Crawler:
                         .observe(obs_c, F.count(F.lit(1)).alias("n")),
                         "candidates", batch)
             n_next = int(obs_c.get["n"])
+
+            # 4b. OnScraped slot — fired LAST, after expansion, per the
+            # reference's callback order (roddy.go:241-247)
+            if self.on_scraped is not None:
+                store.write(self.on_scraped(
+                    fetched.filter(F.col("success"))), "scraped", batch)
 
             # 5. metrics + snapshot commit
             batches.append({

@@ -54,3 +54,17 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
 def build_robots_map(rows) -> dict[str, list[tuple[bool, str]]]:
     """[(host, robots_txt)] → broadcastable {host: rules}."""
     return {host: parse_robots(txt) for host, txt in rows}
+
+
+def robots_path_of(url: str) -> str:
+    """The path(+query) robots rules match against. Proper URL parsing —
+    splitting the string on the hostname would keep the port in the path
+    for non-default-port URLs (rules would see ':8080/x') and misparse
+    URLs whose host substring also appears in userinfo."""
+    from urllib.parse import urlsplit
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "/"
+    path = parts.path or "/"
+    return f"{path}?{parts.query}" if parts.query else path

@@ -45,3 +45,41 @@ def test_distributed_build_equals_local(spark):
     local = Bloom(4096, 0.01)
     local.add(np.asarray(hashes, dtype=np.int64))
     assert np.array_equal(dist.bits, local.bits)  # bit-identical
+
+
+def test_shard_sizing_constant_driver_memory_at_1e9():
+    """Shard count derives from capacity so each shard bitmap stays under
+    the byte budget — at 10^9 keys / 1% fpp (~1.2 GiB total) the build and
+    every delta merge touch ≤128 MiB at a time (VERDICT r1 item 4)."""
+    n = ShardedBloom.shards_for(10**9, 0.01)
+    assert n >= 8, n
+    per_shard_bytes = Bloom(10**9 // n, 0.01).m // 8
+    assert per_shard_bytes <= ShardedBloom.DEFAULT_MAX_SHARD_BYTES
+    # small capacities stay single-shard (no pointless splitting)
+    assert ShardedBloom.shards_for(1 << 20, 0.01) == 1
+
+
+def test_sharded_distributed_build_and_delta_merge(spark):
+    """sharded_bloom_from_hashes_df == local ShardedBloom membership, and
+    shard-wise delta merge unions batches (the crawl loop's per-micro-batch
+    path with a forced multi-shard layout)."""
+    from pyspark.sql import functions as F
+
+    from roddy_spark.operators.dedup import sharded_bloom_from_hashes_df
+
+    df1 = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    df2 = spark.range(5000, 9000).select(F.xxhash64("id").alias("url_hash"))
+    built = sharded_bloom_from_hashes_df(df1, capacity=1 << 14, fpp=0.01,
+                                         max_shard_bytes=1 << 10)
+    assert built.n_shards > 1, "test must exercise the multi-shard path"
+    delta = sharded_bloom_from_hashes_df(df2, capacity=1 << 14, fpp=0.01,
+                                         n_shards=built.n_shards)
+    built.merge(delta)
+    h1 = np.array([r[0] for r in df1.collect()], dtype=np.int64)
+    h2 = np.array([r[0] for r in df2.collect()], dtype=np.int64)
+    assert built.might_contain(h1).all(), "false negatives after build"
+    assert built.might_contain(h2).all(), "false negatives after delta merge"
+    other = spark.range(20000, 40000).select(
+        F.xxhash64("id").alias("url_hash"))
+    ho = np.array([r[0] for r in other.collect()], dtype=np.int64)
+    assert built.might_contain(ho).mean() < 0.05

@@ -45,7 +45,11 @@ CONFIGS = {
     "bucketed_visited": (CrawlConfig(max_depth=3, per_host_budget=3,
                                      visited_buckets=8),
                          default_seeds(WEB)),
-    "bloom_forced": (CrawlConfig(max_depth=3, bloom_mode="on"),
+    # tiny shard budget → the visited filter is genuinely multi-sharded
+    # in-sandbox (ShardedBloom with >1 shard, delta-merged per batch)
+    "bloom_forced": (CrawlConfig(max_depth=3, bloom_mode="on",
+                                 bloom_capacity=1 << 16,
+                                 bloom_max_shard_bytes=1 << 10),
                      ["http://h0.test/"]),
 }
 

@@ -101,3 +101,100 @@ def test_error_classification_and_ignored(spark, web, tmp_path):
             assert eff == e
     boom = [v for k, v in errs.items() if k.endswith("/boom")]
     assert boom and boom[0][0] == "http_500"
+
+
+def test_on_response_suppress(spark, web, tmp_path):
+    """OnResponse slot (roddy.go:185-248 order: after fetch, before
+    extraction): rows it drops are suppressed — absent from the fetches
+    table, uncounted, and their links never expand — but remain visited
+    (they WERE fetched). Engine vs oracle."""
+    pages_dict, pages_df = web
+    cfg = CrawlConfig(max_depth=3)
+    seeds = ["http://h0.test/"]
+
+    def spark_hook(df):  # suppress /p/ responses: no storage, no expansion
+        return df.filter(~F.col("url_norm").rlike("/p/"))
+
+    def oracle_hook(url, depth, ctx):
+        return "/p/" not in url
+
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "resp"),
+                    on_response=spark_hook).run(seeds)
+    exp = crawl_oracle(pages_dict, seeds, cfg, on_response=oracle_hook)
+    got_fetch = {(r["url_norm"], r["success"]) for r in
+                 state.fetches(spark).collect()}
+    exp_fetch = {(f["url_norm"], f["success"]) for f in exp.fetches}
+    assert got_fetch == exp_fetch
+    assert not any("/p/" in u for u, _ in got_fetch)
+    got_visited = {r["url_norm"] for r in state.visited(spark).collect()}
+    assert got_visited == exp.visited_urls
+    assert any("/p/" in u for u in got_visited), \
+        "suppressed responses must still be visited-marked"
+    assert state.success_count == sum(
+        1 for f in exp.fetches if f["success"])
+
+
+def test_on_error_channel(spark, web, tmp_path):
+    """OnError slot: failed fetches flow through the user transform into a
+    durable errors table (roddy.go:332-345 analog)."""
+    pages_dict, pages_df = web
+    cfg = CrawlConfig(max_depth=3)
+    seeds = ["http://h0.test/"]
+
+    def on_error(df):
+        return df.select("url_norm", "status", "error_effective", "batch")
+
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "errs"),
+                    on_error=on_error).run(seeds)
+    exp = crawl_oracle(pages_dict, seeds, cfg)
+    errs = state.errors(spark)
+    assert errs is not None, "failed fetches expected (missing links)"
+    got = {(r["url_norm"], r["status"]) for r in errs.collect()}
+    want = {(e["url_norm"], e["status"]) for e in exp.errors}
+    assert got == want and got
+    assert set(errs.columns) == {"url_norm", "status", "error_effective",
+                                 "batch"}
+
+
+def test_on_scraped_channel(spark, web, tmp_path):
+    """OnScraped slot: fired last, over the batch's successful fetches,
+    into a durable scraped table (roddy.go:241-247 analog)."""
+    pages_dict, pages_df = web
+    cfg = CrawlConfig(max_depth=2)
+    seeds = ["http://h0.test/"]
+
+    def on_scraped(df):
+        return df.select("url_norm", "depth", "seq")
+
+    state = Crawler(spark, cfg, pages_df, str(tmp_path / "scr"),
+                    on_scraped=on_scraped).run(seeds)
+    exp = crawl_oracle(pages_dict, seeds, cfg)
+    got = {(r["url_norm"], r["depth"], r["seq"]) for r in
+           state.scraped(spark).collect()}
+    want = {(s["url_norm"], s["depth"], s["seq"]) for s in exp.scraped}
+    assert got == want and got
+
+
+def test_hook_firing_order(spark, web, tmp_path):
+    """Per-batch hook order matches the reference pipeline
+    (roddy.go:185-248): OnRequest → OnResponse → OnError → OnScraped."""
+    _, pages_df = web
+    calls = []
+
+    def mk(name, proj=None):
+        def hook(df):
+            calls.append(name)
+            return df if proj is None else df.select(*proj)
+        return hook
+
+    Crawler(spark, CrawlConfig(max_depth=2), pages_df,
+            str(tmp_path / "order"),
+            on_request=mk("request"),
+            on_response=mk("response"),
+            on_error=mk("error", ["url_norm", "batch"]),
+            on_scraped=mk("scraped", ["url_norm", "batch"])
+            ).run(["http://h0.test/"])
+    per_batch = [calls[i:i + 4] for i in range(0, len(calls) - 3, 4)]
+    assert per_batch and all(
+        b == ["request", "response", "error", "scraped"]
+        for b in per_batch), calls
