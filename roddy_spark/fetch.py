@@ -49,7 +49,9 @@ def fetch_join(to_fetch: DataFrame, pages: DataFrame,
         (~the whole web) every batch.
       * sort-merge LEFT join when the batch size is unknown or huge.
     """
-    p = pages.select(*[F.col(c) for c in _PAGE_COLS])
+    cols = _PAGE_COLS + (("set_cookie",) if "set_cookie" in pages.columns
+                         else ())
+    p = pages.select(*[F.col(c) for c in cols])
     if frontier_rows is not None and frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS:
         hits = (p.join(F.broadcast(to_fetch), p.url == to_fetch.url_norm,
                        "inner").drop("url"))
@@ -65,6 +67,9 @@ def fetch_join(to_fetch: DataFrame, pages: DataFrame,
         for f in FETCH_RESULT_EXTRA.fields:
             misses = misses.withColumn(
                 f.name, F.lit(None).cast(f.dataType))
+        if "set_cookie" in cols:
+            misses = misses.withColumn("set_cookie",
+                                       F.lit(None).cast("string"))
         out = hits.unionByName(misses.select(*hits.columns))
     else:
         out = to_fetch.join(p, to_fetch.url_norm == p.url, "left").drop("url")

@@ -347,6 +347,7 @@ class Crawler:
                  robots_map: dict | None = None, fetcher=fetch_join,
                  max_batches: int = 200, on_request=None,
                  on_response=None, on_error=None, on_scraped=None,
+                 cookies: dict | None = None,
                  write_metrics: bool = True):
         self.spark = spark
         self.config = config
@@ -378,6 +379,14 @@ class Crawler:
         self.on_error = on_error
         self.on_scraped = on_scraped
         self.write_metrics = write_metrics
+        # K3 cookie-jar lifecycle (storage/storage.go:47-131): host → cookie
+        # string. READ side: passed to cookie-aware fetchers (broadcast).
+        # WRITE-BACK: responses carrying a ``set_cookie`` column update the
+        # jar after each batch (last writer per host by seq) and the jar is
+        # persisted per batch, so a resumed crawl fetches with the same
+        # cookies an uninterrupted one would. Host count bounds jar size —
+        # driver-safe at any page count.
+        self.cookies: dict[str, str] = dict(cookies or {})
 
     # -- state helpers -------------------------------------------------
     def _seed_candidates(self, seeds: list) -> DataFrame:
@@ -435,6 +444,10 @@ class Crawler:
             candidates = store.read(spark, "candidates", batch)
             pending = store.read(spark, "pending", batch)
             visited = store.read_visited(spark)
+            jar = store.read(spark, "cookies", batch)
+            if jar is not None:
+                self.cookies.update({r["host"]: r["cookie"]
+                                     for r in jar.collect()})
             n_cand = candidates.count() if candidates is not None else 0
             n_pending = pending.count() if pending is not None else 0
             bloom = (self._build_bloom(visited)
@@ -527,9 +540,13 @@ class Crawler:
             obs_f = Observation(f"fetch_{batch}")
             import inspect
             fkw = {}
-            if "frontier_rows" in inspect.signature(self.fetcher).parameters:
+            fparams = inspect.signature(self.fetcher).parameters
+            if "frontier_rows" in fparams:
                 # known batch bound → broadcast-frontier fetch strategy
                 fkw["frontier_rows"] = n_admitted + n_pending
+            if "cookies" in fparams:
+                # cookie-aware fetcher gets the CURRENT jar snapshot
+                fkw["cookies"] = dict(self.cookies)
             # fetch consumes to_fetch in multiple plan branches (broadcast
             # build / hits / misses) — persist so politeness runs once
             to_fetch = to_fetch.persist()
@@ -553,11 +570,16 @@ class Crawler:
                 F.sum(F.col("success").cast("long")).alias("ok"),
                 F.sum(((F.col("priority") == PRIORITY_PAGING)
                        & F.col("success")).cast("long")).alias("paging"))
-            # fetches feed the HTML-parse stage next — size its width to the
-            # batch (AQE would coalesce 2KB-html batches into ONE partition;
-            # tiny batches would otherwise fan out to full cluster width)
-            fetched = fetched.repartition(
-                self._width(max(n_admitted, n_pending), 5_000))
+            # fetches feed the HTML-parse stage next — SMALL batches are
+            # narrowed to a data-sized width (AQE would otherwise coalesce
+            # 2KB-html batches into ONE partition, or tiny batches would
+            # fan out to full cluster width, multiplying fixed Arrow/python
+            # task overhead). LARGE batches skip this: repartitioning
+            # body-laden rows is a full shuffle of the batch's HTML, and
+            # the natural fetch-stage partitioning is already wide.
+            w = self._width(max(n_admitted, n_pending), 5_000)
+            if w < self.spark.sparkContext.defaultParallelism:
+                fetched = fetched.repartition(w)
             store.write(fetched, "fetches", batch)
             to_fetch.unpersist()
             fetched = store.read(spark, "fetches", batch)
@@ -570,6 +592,24 @@ class Crawler:
             if self.write_metrics:
                 from roddy_spark.streaming.events import fetch_rate_metrics
                 store.write(fetch_rate_metrics(fetched), "metrics", batch)
+
+            # 3b2. cookie write-back (K3, storage/storage.go:92-131):
+            # set-cookie responses update the jar (last writer per host by
+            # seq) and the jar is persisted for resume. Bounded by host
+            # count; reads the persisted fetches snapshot.
+            if "set_cookie" in fetched.columns:
+                updates = (fetched
+                           .filter(F.col("set_cookie").isNotNull())
+                           .groupBy(U.host_of("url_norm").alias("host"))
+                           .agg(F.max_by("set_cookie", "seq")
+                                .alias("cookie")).collect())
+                if updates:
+                    self.cookies.update(
+                        {r["host"]: r["cookie"] for r in updates})
+                if self.cookies:
+                    store.write(spark.createDataFrame(
+                        list(self.cookies.items()),
+                        "host string, cookie string"), "cookies", batch)
 
             # 3c. OnError slot (roddy.go:332-345): failed fetches → the
             # durable errors table; reads the already-persisted fetches

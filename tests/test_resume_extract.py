@@ -269,3 +269,42 @@ def test_resume_after_kill_during_first_batch(spark, web, tmp_path, buckets):
            full.visited(spark).orderBy("seq").collect()]
     assert got == exp and got, "resume after mid-batch kill diverged"
     assert state.success_count == full.success_count
+
+
+def test_cookie_writeback_lifecycle(spark, web, tmp_path):
+    """K3 write-back (storage/storage.go:92-131): set-cookie responses
+    update the per-host jar after each batch; later batches fetch WITH the
+    jar; the jar persists per snapshot so a resumed crawl sees the cookies
+    an uninterrupted one would."""
+    from roddy_spark.fetch import fetch_join
+
+    _, pages_df = web
+    # pages answer with a set-cookie on each host's root
+    pages_ck = pages_df.withColumn(
+        "set_cookie",
+        F.when(F.col("url").rlike(r"^http://h[0-9]+\.test/$"),
+               F.concat(F.lit("sid="), F.col("host"))))
+    seen_jars = []
+
+    def fetcher(to_fetch, pages, frontier_rows=None, cookies=None):
+        seen_jars.append(dict(cookies or {}))
+        return fetch_join(to_fetch, pages, frontier_rows=frontier_rows)
+
+    cfg = CrawlConfig(max_depth=2)
+    ckpt = str(tmp_path / "jar")
+    crawler = Crawler(spark, cfg, pages_ck, ckpt, fetcher=fetcher)
+    crawler.run(["http://h0.test/", "http://h1.test/"])
+
+    # batch 1 fetches the roots with an empty jar; batch 2 onward carries
+    # the cookies batch 1's responses set
+    assert seen_jars[0] == {}
+    assert seen_jars[1] == {"h0.test": "sid=h0.test",
+                            "h1.test": "sid=h1.test"}
+    # later batches may reach further hosts whose roots also set cookies
+    assert seen_jars[1].items() <= crawler.cookies.items()
+    assert all(v == f"sid={h}" for h, v in crawler.cookies.items())
+
+    # resume restores the persisted jar into a FRESH crawler
+    resumed = Crawler(spark, cfg, pages_ck, ckpt, fetcher=fetcher)
+    resumed.run(resume=True)
+    assert resumed.cookies == crawler.cookies
