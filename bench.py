@@ -243,8 +243,12 @@ def _level_runner(argv: list[str]) -> None:
                           _scan_split_bytes(scale_web, SCALE_CORES_4N),
                           shuffle_partitions=SCALE_CORES_4N)
     warm_level(spark, small_web)
-    out = [frontier_level_throughput(spark, scale_web)
-           for _ in range(runs)]
+    out = []
+    for _ in range(runs):
+        # drain the previous run's garbage OUTSIDE the timed window — a
+        # major GC landing mid-run is the dominant outlier source
+        spark._jvm.System.gc()
+        out.append(frontier_level_throughput(spark, scale_web))
     spark.stop()
     print(json.dumps(out))
 
@@ -300,6 +304,8 @@ def main() -> None:
             import subprocess
             budget = max(2, runs_per_side) if (
                 time.time() - t_start < deadline) else 2
+            if cores == SCALE_CORES_4N:
+                budget += 1  # 4N runs are 3-4x cheaper; buy outlier margin
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--level-runner", str(cores), str(budget),
