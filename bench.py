@@ -46,7 +46,8 @@ QUERY_NAMES = [
     "politeness_rank", "bfs_expand", "domain_filter", "salted_agg",
     "token_stats", "quality_scores", "lang_id", "fingerprints",
     "dedup_exact", "ngram_jaccard", "minhash_signatures", "simhash",
-    "embedding_neardup", "phash_banding", "ann_topk", "sessionize",
+    "embedding_neardup", "phash_banding", "ann_topk", "ann_ivf_topk",
+    "sessionize",
     "hourly_rollup",
 ]
 

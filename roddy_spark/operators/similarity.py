@@ -115,6 +115,79 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("qid", "nid", "rank", F.round("sim", 4).alias("sim")))
 
 
+def _kmeans_centroids(df: DataFrame, n_centroids: int, dim: int,
+                      vec_col: str, sample_rows: int = 2048,
+                      iters: int = 8, seed: int = 42):
+    """Driver-side seeded k-means on a bounded sample (collect is capped at
+    ``sample_rows`` regardless of corpus size — scale-safe). Returns a
+    (n_centroids, dim) numpy array of L2-normalized centroids."""
+    import numpy as np
+    sample = np.array(df.select(vec_col).limit(sample_rows)
+                      .toPandas()[vec_col].to_list(), dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                         1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _nearest_centroids(vec: Column, cent, n_probe: int) -> Column:
+    """Array of the ``n_probe`` centroid ids nearest to ``vec`` (by dot
+    product against literal centroid arrays — JVM-side, no Python at
+    execution time; same literal-coefficient trick as the LSH planes)."""
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(F.zip_with(vec,
+                                   F.array(*[F.lit(float(x)) for x in c]),
+                                   lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, v: acc + v).alias("dot"),
+            F.lit(i).alias("cid"))
+        for i, c in enumerate(cent)])
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_rows: int = 2048) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer twin of
+    ``lsh_topk``: a bounded-sample seeded k-means learns ``n_centroids``
+    cells driver-side; every corpus vector is assigned to its nearest cell
+    (one JVM-side argmax, no Python); each query probes its ``n_probe``
+    nearest cells, so candidates come from ONE equi-join on cell id —
+    scanned fraction ≈ n_probe/n_centroids of the corpus instead of a cross
+    product. Exact cosine re-ranks candidates. With n_probe == n_centroids
+    the scan is exhaustive and the result EQUALS brute force (that mode is
+    DuckDB-oracled as ``ann_ivf_topk``); partial probing is covered by a
+    recall-vs-brute-force test."""
+    cent = _kmeans_centroids(corpus, n_centroids, dim, vec_col, sample_rows)
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        F.element_at(_nearest_centroids(F.col(vec_col), cent, 1), 1)
+        .alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.explode(_nearest_centroids(F.col(vec_col), cent,
+                                     min(n_probe, len(cent))))
+        .alias("cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .withColumn("sim", cosine(F.col("qv"), F.col("nv")))
+              .select("qid", "nid", "sim").dropDuplicates(["qid", "nid"]))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", F.round("sim", 4).alias("sim")))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",

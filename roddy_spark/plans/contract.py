@@ -555,6 +555,18 @@ def q_ann_topk(spark, sf_dir):
     return SIM.brute_force_topk(q, c, k=3)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN in exhaustive-probe mode (n_probe == n_centroids): the whole
+    IVF machinery — sampled k-means, JVM-side cell assignment, cell
+    equi-join, exact re-rank — must reproduce the exact top-k, so the
+    all-pairs SQL twin is its spec. Partial-probe recall is pinned in
+    tests/test_pipeline_ops.py."""
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    c = embs.filter(F.col("vec_id") < 200)
+    return SIM.ivf_topk(q, c, k=3, n_centroids=8, n_probe=8)
+
+
 SQL_ANN_TOPK = """
 SELECT qid, nid, rank, round(sim, 4) AS sim FROM (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -776,6 +788,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "phash_banding": q_phash_banding,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "sessionize": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
     "json_props": q_json_props,
@@ -811,6 +824,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "phash_banding": SQL_PHASH_BANDING,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf_topk": SQL_ANN_TOPK,  # exhaustive probing == exact top-k
     "sessionize": SQL_SESSIONIZE,
     "hourly_rollup": SQL_HOURLY_ROLLUP,
     "json_props": SQL_JSON_PROPS,

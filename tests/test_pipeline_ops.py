@@ -247,3 +247,57 @@ def test_cosine_near_dup_recall_on_random_perturbed(spark):
     assert got <= truth | got  # sanity
     # precision is exact by construction (cosine verify)
     assert all(p in truth for p in got), "verify stage passed a false pair"
+
+
+def test_ivf_topk_recall_and_exhaustive_exactness(spark, sf_dir):
+    """IVF ANN: (a) exhaustive probing (n_probe == n_centroids) must equal
+    exact brute force — the machinery proof; (b) partial probing (2 of 8
+    cells ≈ 25% of the corpus scanned) must keep high top-k recall."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 8)
+    c = embs.filter(F.col("vec_id") < 300)
+    exact = {(r["qid"], r["nid"]) for r in
+             S.brute_force_topk(q, c, k=5).collect()}
+
+    full = {(r["qid"], r["nid"]) for r in
+            S.ivf_topk(q, c, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact, "exhaustive IVF must reproduce exact top-k"
+
+    part = {(r["qid"], r["nid"]) for r in
+            S.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2).collect()}
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.5, f"IVF n_probe=2/8 recall {recall:.2f}"
+
+
+def test_politeness_megahost_skew(spark):
+    """One host contributing 60k of a level's rows (Zipf head) must still
+    release exactly the per-host top-B by (priority, seq) — the salted
+    pre-cut bounds the authoritative host window's input at salt*B rows
+    per host, so a mega-host cannot funnel the level into one partition."""
+    from roddy_spark.operators.politeness import politeness_split
+
+    mega = spark.range(0, 60000).select(
+        F.concat(F.lit("http://big.test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("big.test").alias("host"), F.lit(1).alias("depth"),
+        (F.col("id") % 2).cast("int").alias("priority"),
+        F.col("id").alias("seq"))
+    tiny = spark.range(100000, 100010).select(
+        F.concat(F.lit("http://small.test/p/"), F.col("id").cast("string"))
+        .alias("url_norm"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit("small.test").alias("host"), F.lit(1).alias("depth"),
+        F.lit(1).cast("int").alias("priority"), F.col("id").alias("seq"))
+    pool = mega.unionByName(tiny)
+    to_fetch, deferred = politeness_split(pool, per_host_budget=3,
+                                          salt_buckets=8)
+    got = {(r["host"], r["priority"], r["seq"])
+           for r in to_fetch.collect()}
+    # big.test: priority 0 wins → the three smallest odd seqs (id%2==0 is
+    # priority 0: seqs 0,2,4); small.test: seqs 100000-100002
+    assert got == {("big.test", 0, 0), ("big.test", 0, 2),
+                   ("big.test", 0, 4),
+                   ("small.test", 1, 100000), ("small.test", 1, 100001),
+                   ("small.test", 1, 100002)}, got
+    assert deferred.count() == 60000 + 10 - 6
