@@ -737,6 +737,42 @@ def q_video_frame_sample(spark, sf_dir):
             .select("media_id", "frame_idx", "ts_ms", "phash"))
 
 
+def q_frontier_stream_ingest(spark, sf_dir):
+    """Structured Streaming candidate intake (streaming/frontier.py):
+    readStream → foreachBatch(full admission chain) against the persistent
+    visited store, drained with availableNow. Rows-only (an iterative
+    stateful streaming job has no single-SQL twin); batch-equivalence of
+    the admission semantics is pinned in tests/test_streaming_frontier.py.
+    Candidates derive from the customer table (URL-ified), sent in two
+    waves with cross-wave duplicates the persistent dedup must drop."""
+    import tempfile
+
+    from roddy_spark.config import CrawlConfig
+    from roddy_spark.streaming.frontier import FrontierIngest
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    raw = cust.select(
+        F.concat(F.lit("http://shop"), (F.col("c_custkey") % 5)
+                 .cast("string"), F.lit(".test/c/"),
+                 F.col("c_custkey").cast("string")).alias("raw_url"),
+        F.lit(1).alias("depth"), F.lit(1).alias("priority"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        tmp = tempfile.mkdtemp(prefix="roddy_stream_ingest_")
+        intake = f"{tmp}/intake"
+        raw.filter(F.col("raw_url").rlike("/c/[0-9]*[02468]$")) \
+           .coalesce(1).write.mode("append").parquet(intake)
+        ing = FrontierIngest(spark, CrawlConfig(max_depth=2), intake,
+                             f"{tmp}/store", f"{tmp}/ckpt")
+        ing.run_available_now()
+        raw.coalesce(1).write.mode("append").parquet(intake)  # wave 2 ∪ dups
+        ing.run_available_now()
+        return (ing.visited().select("url_norm", "depth", "seq")
+                .orderBy("seq"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_crawl_bfs(spark, sf_dir):
     """The full iterative BFS crawl on a seeded synthetic web — equivalence
     vs the reference-semantics oracle is pinned by tests/test_crawl_e2e.py;
@@ -797,6 +833,7 @@ QUERIES = {
     "phash_neardup": q_phash_neardup,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
+    "frontier_stream_ingest": q_frontier_stream_ingest,
     "crawl_bfs": q_crawl_bfs,
 }
 
