@@ -203,8 +203,14 @@ def sharded_bloom_from_hashes_df(df: DataFrame, capacity: int,
         for s, bits in local.items():
             yield pd.DataFrame({"shard": [s], "bits": [bits.tobytes()]})
 
-    it = rep.mapInPandas(build, "shard int, bits binary").toLocalIterator()
-    for row in it:
+    built = rep.mapInPandas(build, "shard int, bits binary")
+    # small filters: one collect (one job). Large filters: toLocalIterator
+    # streams shard bitmaps one at a time — constant driver memory, at the
+    # cost of a job per partition batch (only worth it when the filter
+    # itself is driver-memory-significant).
+    rows = (built.collect() if k_shards * (m // 8) <= (64 << 20)
+            else built.toLocalIterator())
+    for row in rows:
         np.bitwise_or(proto.shards[row["shard"]].bits,
                       np.frombuffer(row["bits"], dtype=np.uint8),
                       out=proto.shards[row["shard"]].bits)

@@ -246,3 +246,62 @@ def pages_dict_from_pandas(pdf) -> dict[str, dict]:
             "links": list(row["links"]),
         }
     return out
+
+
+def dfs_oracle(pages: dict[str, dict], seeds: list[str],
+               config: CrawlConfig,
+               robots_rows: list[tuple[str, str]] | None = None
+               ) -> list[tuple[str, int]]:
+    """The reference's SYNC mode (roddy.go:142-154, SURVEY §3.1): literal
+    recursive depth-first visit in document order — visit a page, then
+    recurse into each of its links before the next sibling. Returns the
+    preorder [(url_norm, depth)]; the Spark fixpoint in plans/dfs.py must
+    reproduce it exactly."""
+    import sys
+    robots = build_robots_map(robots_rows or [])
+    deny_re = [re.compile(p) for p in config.disallowed_url_filters]
+    allow_re = [re.compile(p) for p in config.url_filters]
+    visited: set[int] = set()
+    order: list[tuple[str, int]] = []
+    sys.setrecursionlimit(100_000)
+
+    def admissible(url: str, depth: int) -> bool:
+        if config.max_depth and depth > config.max_depth:
+            return False
+        if any(r.search(url) for r in deny_re):
+            return False
+        if allow_re and not any(r.search(url) for r in allow_re):
+            return False
+        host = url_host(url) or ""
+        if host in config.disallowed_domains:
+            return False
+        if config.allowed_domains and host not in config.allowed_domains:
+            return False
+        if config.respect_robots and host in robots:
+            if not robots_allowed(robots[host], robots_path_of(url)):
+                return False
+        return True
+
+    def visit(url: str | None, depth: int) -> None:
+        if url is None or not admissible(url, depth):
+            return
+        h = url_hash(url)
+        if h in visited:
+            return
+        visited.add(h)
+        order.append((url, depth))
+        page = pages.get(url)
+        if page is None or page["status"] >= 400:
+            return
+        if page["content_type"] != "text/html" and not (
+                300 <= page["status"] < 400):
+            return
+        base = url
+        if page.get("base_href"):
+            base = resolve_url(url, page["base_href"]) or url
+        for link in page["links"]:
+            visit(resolve_url(base, link["href"]), depth + 1)
+
+    for s in seeds:
+        visit(canonicalize_url(s), 1)
+    return order

@@ -773,6 +773,25 @@ def q_frontier_stream_ingest(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_crawl_dfs(spark, sf_dir):
+    """The reference's SYNC-mode (DFS) visit order on a seeded synthetic
+    web, computed as the lexicographic-path fixpoint (plans/dfs.py);
+    equality with the literal recursive-DFS oracle is pinned in
+    tests/test_dfs.py. Rows-only (iterative multi-job fixpoint)."""
+    from roddy_spark.config import CrawlConfig
+    from roddy_spark.plans.dfs import dfs_preorder
+    from roddy_spark.sources.synthweb import WebConfig, synthweb_df
+    pages = synthweb_df(spark, WebConfig(n_hosts=2, n_pages=60,
+                                         n_corpus=20), partitions=2)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return dfs_preorder(spark, pages, ["http://h0.test/"],
+                            CrawlConfig(max_depth=3)).orderBy("seq")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_crawl_bfs(spark, sf_dir):
     """The full iterative BFS crawl on a seeded synthetic web — equivalence
     vs the reference-semantics oracle is pinned by tests/test_crawl_e2e.py;
@@ -835,6 +854,7 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "frontier_stream_ingest": q_frontier_stream_ingest,
     "crawl_bfs": q_crawl_bfs,
+    "crawl_dfs": q_crawl_dfs,
 }
 
 ORACLES = {

@@ -1,0 +1,193 @@
+"""Sync-DFS visit order (SURVEY.md D3, reference roddy.go:142-154 /
+examples/basic) — reproduced AT SCALE as a dataflow fixpoint.
+
+The reference's sync mode visits depth-first in document order: one page at
+a time, recursing into each link before its next sibling. That control flow
+is inherently sequential — but its OUTPUT is not: the DFS preorder equals
+ordering every reachable URL by the lexicographically smallest root-path
+(sequence of link positions) that reaches it, with the node's depth taken
+from that path. That characterization is computable with iterative
+DataFrame self-joins (the north rule's phrase exactly):
+
+  pending(url, path) ─ min path per url ─ keep improvements vs best ─
+  admission filters (depth = len(path), regex, domain, robots) ─ fetch ─
+  extract links ─ children(path ⊕ [pos]) → next pending … until fixpoint.
+
+A node whose best path improves re-expands, so better prefixes propagate to
+descendants; paths descend lexicographically and are bounded, so the loop
+terminates (tree-ish webs converge in ~max-depth iterations). Budgets and
+politeness are BFS-loop concepts (they depend on arrival batches) and are
+intentionally not supported here; equality with a literal recursive-DFS
+oracle is pinned in tests/test_dfs.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                               StructField, StructType)
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.fetch import fetch_join
+from roddy_spark.functions import urls as U
+
+_PENDING_SCHEMA = StructType([
+    StructField("url_norm", StringType()),
+    StructField("path", ArrayType(IntegerType())),
+])
+
+
+def _admissible(df: DataFrame, config: CrawlConfig,
+                robots_map: dict | None) -> DataFrame:
+    """The DFS-relevant admission filters (depth comes from the path)."""
+    if config.max_depth:
+        df = df.filter(F.size("path") <= config.max_depth)
+    for pat in config.disallowed_url_filters:
+        df = df.filter(~F.col("url_norm").rlike(pat))
+    if config.url_filters:
+        df = df.filter(reduce(lambda a, b: a | b,
+                              [F.col("url_norm").rlike(p)
+                               for p in config.url_filters]))
+    host = U.host_of("url_norm")
+    if config.disallowed_domains:
+        df = df.filter(~host.isin(*config.disallowed_domains))
+    if config.allowed_domains:
+        df = df.filter(host.isin(*config.allowed_domains))
+    if config.respect_robots and robots_map:
+        from roddy_spark.robots import robots_allowed, robots_path_of
+        bc = df.sparkSession.sparkContext.broadcast(robots_map)
+
+        @F.pandas_udf("boolean")
+        def ok(url: pd.Series, h: pd.Series) -> pd.Series:
+            return pd.Series([
+                robots_allowed(bc.value[hh], robots_path_of(u))
+                if hh in bc.value else True
+                for u, hh in zip(url, h)])
+
+        df = df.filter(ok(F.col("url_norm"), host))
+    return df
+
+
+_EDGE_SCHEMA = StructType([
+    StructField("url_norm", StringType()),   # parent
+    StructField("pos", IntegerType()),
+    StructField("child", StringType()),
+])
+
+
+def _extract_edges(fetched: DataFrame) -> DataFrame:
+    """fetched(url_norm, body_html, …) → edges(url_norm, pos, child):
+    resolved+canonicalized outgoing links in document order."""
+    import pandas as pd
+
+    from roddy_spark.extract import extract_links_fast
+    from roddy_spark.functions.urlkernel import resolve_series
+
+    html = fetched.filter(
+        F.col("success") & ((F.col("content_type") == "text/html")
+                            | ((F.col("status") >= 300)
+                               & (F.col("status") < 400))))
+    src = html.select("url_norm", "body_html")
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            base_href, links = extract_links_fast(pdf["body_html"])
+            if not len(links):
+                continue
+            base = resolve_series(pdf["url_norm"], base_href)
+            base = base.where(base.notna(), pdf["url_norm"])
+            page = links["page"].to_numpy()
+            child = resolve_series(
+                base.iloc[page].reset_index(drop=True),
+                links["href"].reset_index(drop=True))
+            out = pd.DataFrame({
+                "url_norm": pdf["url_norm"].to_numpy()[page],
+                "pos": links["pos"].to_numpy().astype("int32"),
+                "child": child.to_numpy(),
+            })
+            yield out[out["child"].notna()]
+
+    return src.mapInPandas(gen, _EDGE_SCHEMA)
+
+
+def dfs_preorder(spark: SparkSession, pages: DataFrame, seeds: list[str],
+                 config: CrawlConfig, robots_map: dict | None = None,
+                 fetcher=fetch_join, max_iters: int = 200) -> DataFrame:
+    """The reference's sync-DFS visit order: (url_norm, depth, seq) with
+    seq = DFS preorder rank.
+
+    The DFS visit path is the unique fixpoint of
+        P(v) = min over edges u→v of  P(u) ⊕ [pos],  P(seed_i) ≤ [i]
+    under lexicographic path order (min GRAPH path is NOT correct: when a
+    parent's own visit path changes, child paths derived from its stale
+    path must be retracted — e.g. a shortcut to u discovered inside an
+    earlier sibling's subtree moves u's whole subtree). So each round
+    recomputes EVERY node's estimate from the full edge set (Jacobi
+    iteration of the exact operator): estimates only descend, the operator
+    is monotone, and the fixpoint is unique (induction over the path
+    well-order), so this converges to the true DFS preorder. Each URL is
+    fetched once — edges accumulate in a cached table; rounds are bounded
+    by the longest dependency chain (≲ longest admissible path)."""
+    seed_rows = [(u, [i]) for i, u in enumerate(seeds)]
+    seeds_df = (spark.createDataFrame(seed_rows, ["raw_url", "path"])
+                .withColumn("url_norm", U.canonicalize("raw_url"))
+                .filter(F.col("url_norm").isNotNull())
+                .select("url_norm", F.col("path").cast("array<int>")
+                        .alias("path")))
+    seeds_df = _admissible(seeds_df, config, robots_map) \
+        .localCheckpoint(eager=True)
+    paths = seeds_df               # current estimate P_i (url_norm, path)
+    edges: DataFrame | None = None  # (url_norm parent, pos, child)
+    fetched_urls: DataFrame | None = None
+    for _ in range(max_iters):
+        # fetch + extract edges for nodes not yet fetched (each url once)
+        to_fetch = paths.select("url_norm", "path")
+        if fetched_urls is not None:
+            to_fetch = to_fetch.join(fetched_urls, "url_norm", "left_anti")
+        if not to_fetch.isEmpty():
+            new_edges = (_extract_edges(
+                fetcher(to_fetch.select("url_norm"), pages))
+                .localCheckpoint(eager=True))
+            edges = (new_edges if edges is None else
+                     edges.unionByName(new_edges)
+                     .localCheckpoint(eager=True))
+            fetched_urls = (to_fetch.select("url_norm") if fetched_urls
+                            is None else fetched_urls.unionByName(
+                                to_fetch.select("url_norm"))
+                            ).localCheckpoint(eager=True)
+        # Jacobi step: recompute every estimate from seeds + extensions
+        cand = seeds_df
+        if edges is not None:
+            ext = (edges.join(paths.select(F.col("url_norm").alias("parent"),
+                                           F.col("path").alias("ppath")),
+                              F.col("url_norm") == F.col("parent"))
+                   .select(F.col("child").alias("url_norm"),
+                           F.concat(F.col("ppath"),
+                                    F.array(F.col("pos"))).alias("path")))
+            ext = _admissible(ext, config, robots_map)
+            cand = cand.unionByName(ext)
+        new_paths = (cand.groupBy("url_norm").agg(F.min("path")
+                                                  .alias("path"))
+                     .localCheckpoint(eager=True))
+        changed = (new_paths.join(paths, ["url_norm", "path"], "left_anti")
+                   .unionByName(
+                       paths.join(new_paths, ["url_norm", "path"],
+                                  "left_anti")))
+        done = changed.isEmpty()
+        paths = new_paths
+        if done:
+            break
+    # preorder rank: lexicographic path order (shorter prefix first — Spark
+    # array ordering — which is exactly parent-before-child)
+    from roddy_spark.operators.rank import (ordered_seq,
+                                            release_rank_caches)
+    out = (ordered_seq(paths, ["path"], "seq")
+           .select("url_norm", F.size("path").alias("depth"), "seq"))
+    out = out.localCheckpoint(eager=True)
+    release_rank_caches()
+    return out

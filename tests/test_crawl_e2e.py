@@ -49,7 +49,7 @@ CONFIGS = {
     # in-sandbox (ShardedBloom with >1 shard, delta-merged per batch)
     "bloom_forced": (CrawlConfig(max_depth=3, bloom_mode="on",
                                  bloom_capacity=1 << 16,
-                                 bloom_max_shard_bytes=1 << 10),
+                                 bloom_max_shard_bytes=1 << 14),
                      ["http://h0.test/"]),
 }
 
