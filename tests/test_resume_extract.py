@@ -308,3 +308,51 @@ def test_cookie_writeback_lifecycle(spark, web, tmp_path):
     resumed = Crawler(spark, cfg, pages_ck, ckpt, fetcher=fetcher)
     resumed.run(resume=True)
     assert resumed.cookies == crawler.cookies
+
+
+def test_authenticated_crawl_via_cookie_gate(spark, web, tmp_path):
+    """The reference's login-flow OUTCOME (examples/login, S9's data
+    semantics): a /login response sets the session cookie; a cookie-aware
+    fetcher 403s gated pages without it; because the jar updates between
+    batches, the gated pages succeed from batch 2 on."""
+    from roddy_spark.fetch import fetch_join
+
+    _, pages_df = web
+    gated = spark.createDataFrame(
+        [("http://h0.test/login", "h0.test", 200, "text/html", None,
+          '<html><body><a href="/private/1">p</a></body></html>',
+          "session=ok"),
+         ("http://h0.test/private/1", "h0.test", 200, "text/html", None,
+          "<html><body>secret</body></html>", None)],
+        "url string, host string, status int, content_type string, "
+        "base_href string, body_html string, set_cookie string")
+    pages_ck = (pages_df.withColumn("set_cookie",
+                                    F.lit(None).cast("string"))
+                .select(*gated.columns).unionByName(gated))
+
+    def session_fetcher(to_fetch, pages, frontier_rows=None, cookies=None):
+        out = fetch_join(to_fetch, pages, frontier_rows=frontier_rows)
+        if (cookies or {}).get("h0.test") != "session=ok":
+            out = (out.withColumn(
+                "status", F.when(F.col("url_norm").rlike("/private/"),
+                                 F.lit(403)).otherwise(F.col("status")))
+                   .withColumn("success", F.col("status") < 400))
+        return out
+
+    state = Crawler(spark, CrawlConfig(max_depth=2), pages_ck,
+                    str(tmp_path / "login"),
+                    fetcher=session_fetcher).run(["http://h0.test/login"])
+    got = {r["url_norm"]: r["status"]
+           for r in state.fetches(spark).collect()}
+    assert got["http://h0.test/login"] == 200
+    assert got["http://h0.test/private/1"] == 200, \
+        "session cookie must unlock the gated page in batch 2"
+
+    # control: without cookie write-back the gate holds (fetcher sees no jar)
+    state2 = Crawler(spark, CrawlConfig(max_depth=2),
+                     pages_ck.drop("set_cookie"),
+                     str(tmp_path / "nologin"),
+                     fetcher=session_fetcher).run(["http://h0.test/login"])
+    got2 = {r["url_norm"]: r["status"]
+            for r in state2.fetches(spark).collect()}
+    assert got2["http://h0.test/private/1"] == 403
