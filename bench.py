@@ -39,7 +39,7 @@ BENCH_PAGES = int(os.environ.get("RODDY_BENCH_PAGES", "10000"))
 SCALE_CORES_N = int(os.environ.get("RODDY_BENCH_CORES_N", "2"))
 SCALE_CORES_4N = int(os.environ.get("RODDY_BENCH_CORES_4N", "8"))
 SCALE_HOSTS = int(os.environ.get("RODDY_SCALE_HOSTS", "64"))
-SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "2000000"))
+SCALE_PAGES = int(os.environ.get("RODDY_SCALE_PAGES", "3000000"))
 
 QUERY_NAMES = [
     "frontier_admission", "visited_antijoin", "first_occurrence",
@@ -89,6 +89,31 @@ def _scan_split_bytes(web_path: str, cores: int) -> int:
                 for f in os.listdir(web_path)
                 if f.endswith(".parquet"))
     return min(128 << 20, max(1 << 20, total // (cores * 3)))
+
+
+def _cpu_stat():
+    try:
+        with open("/proc/stat") as f:
+            return [int(v) for v in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _cpu_delta(before):
+    """Box-level CPU telemetry across the timed window: busy%, iowait%,
+    steal% — a slow run with high steal/other-busy is the environment, not
+    the engine; the JSON records it so a degraded sample is self-evident."""
+    after = _cpu_stat()
+    if not before or not after:
+        return {}
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d) or 1
+    # fields: user nice system idle iowait irq softirq steal ...
+    busy = sum(d[:3]) + sum(d[5:7])
+    return {"box_busy_pct": round(100 * busy / total, 1),
+            "box_iowait_pct": round(100 * d[4] / total, 1),
+            "box_steal_pct": round(100 * d[7] / total, 1)
+            if len(d) > 7 else 0.0}
 
 
 def warmup(spark, cores: int) -> None:
@@ -163,6 +188,7 @@ def frontier_level_throughput(spark, web_path: str) -> dict:
     cfg = CrawlConfig(disallowed_url_filters=(r"/missing/",),
                       per_host_budget=1_000_000)
 
+    stat0 = _cpu_stat()
     t0 = time.time()
     admitted = admit(cand, cfg, visited, None, None, 0)
     to_fetch, _deferred = politeness_split(admitted, cfg.per_host_budget,
@@ -181,8 +207,10 @@ def frontier_level_throughput(spark, web_path: str) -> dict:
     from roddy_spark.operators.rank import release_rank_caches
     release_rank_caches()
     n_candidates = 2 * pages.count()  # exact by construction (2 copies/URL)
-    return {"secs": round(secs, 2), "candidates": n_candidates,
-            "throughput_urls_per_sec": round(n_candidates / secs, 1)}
+    out = {"secs": round(secs, 2), "candidates": n_candidates,
+           "throughput_urls_per_sec": round(n_candidates / secs, 1)}
+    out.update(_cpu_delta(stat0))  # environment telemetry (steal = noisy box)
+    return out
 
 
 def crawl_throughput(spark, web_path: str) -> dict:
@@ -288,36 +316,52 @@ def main() -> None:
         # cluster. A soft deadline degrades to single runs if generation or
         # the query suite ate the budget.
         t_start = time.time()
-        deadline = float(os.environ.get("RODDY_BENCH_DEADLINE_S", "600"))
+        deadline = float(os.environ.get("RODDY_BENCH_DEADLINE_S", "900"))
         runs_per_side = int(os.environ.get("RODDY_BENCH_RUNS", "3"))
 
-        def pair(cores):
-            # Each side runs in a SUBPROCESS pinned (sched_setaffinity) to
+        def launch(cores, k):
+            # One side runs in a SUBPROCESS pinned (sched_setaffinity) to
             # exactly ``cores`` hardware CPUs before the JVM spawns, so the
             # side's JVM task threads AND its python UDF workers share that
             # budget — the local-mode analog of an N-core vs 4N-core
             # cluster. Unpinned local[N] lets python workers overflow onto
             # extra cores, silently inflating the small side (measured:
-            # local[2] ran 1.6x faster than a true 2-cpu budget).
-            # min-of-K warm runs; a miniature level inside the runner warms
-            # codegen/JIT first. The deadline guard degrades K, never
-            # below 2.
+            # local[2] ran 1.6x faster than a true 2-cpu budget). A
+            # miniature level inside the runner warms codegen/JIT first.
             import subprocess
-            budget = max(2, runs_per_side) if (
-                time.time() - t_start < deadline) else 2
-            if cores == SCALE_CORES_4N:
-                budget += 1  # 4N runs are 3-4x cheaper; buy outlier margin
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--level-runner", str(cores), str(budget),
+                 "--level-runner", str(cores), str(k),
                  scale_web_path, web_path],
                 capture_output=True, text=True, timeout=1800)
-            runs = json.loads(out.stdout.strip().splitlines()[-1])
-            best = min(runs, key=lambda r: r["secs"])
-            return {"all_secs": [r["secs"] for r in runs]}, best
+            return json.loads(out.stdout.strip().splitlines()[-1])
 
-        cold_n, fl_n = pair(SCALE_CORES_N)
-        cold_4n, fl_4n = pair(SCALE_CORES_4N)
+        # The sides are INTERLEAVED (4N, N, 4N, N) so both sample the same
+        # environmental windows — this is a shared VM, and an episodically
+        # noisy/stolen stretch that hits only the last-scheduled side would
+        # otherwise bias the ratio (observed: a late-bench degraded window
+        # turned a 0.9x pair into 0.78). min over all of a side's runs is
+        # the estimator; per-run box telemetry lands in the JSON. The
+        # deadline guard drops the second round of launches, never the
+        # first.
+        runs_n, runs_4n = [], []
+        schedule = [(SCALE_CORES_4N, 2, runs_4n), (SCALE_CORES_N, 2, runs_n),
+                    (SCALE_CORES_4N, 2, runs_4n),
+                    (SCALE_CORES_N, max(1, runs_per_side - 2), runs_n)]
+        for i, (cores, k, sink) in enumerate(schedule):
+            if i >= 2 and time.time() - t_start > deadline:
+                break
+            sink.extend(launch(cores, k))
+        fl_n = min(runs_n, key=lambda r: r["secs"])
+        fl_4n = min(runs_4n, key=lambda r: r["secs"])
+        cold_n = {"all_secs": [r["secs"] for r in runs_n],
+                  "telemetry": [{k: r[k] for k in
+                                 ("box_busy_pct", "box_steal_pct") if k in r}
+                                for r in runs_n]}
+        cold_4n = {"all_secs": [r["secs"] for r in runs_4n],
+                   "telemetry": [{k: r[k] for k in
+                                  ("box_busy_pct", "box_steal_pct") if k in r}
+                                 for r in runs_4n]}
         eff = (fl_4n["throughput_urls_per_sec"]
                / fl_n["throughput_urls_per_sec"]) / (SCALE_CORES_4N
                                                      / SCALE_CORES_N)
@@ -329,6 +373,8 @@ def main() -> None:
             "secs_n": fl_n["secs"], "secs_4n": fl_4n["secs"],
             "all_run_secs_n": cold_n["all_secs"],
             "all_run_secs_4n": cold_4n["all_secs"],
+            "telemetry_n": cold_n["telemetry"],
+            "telemetry_4n": cold_4n["telemetry"],
             "efficiency": round(eff, 3),
         }
     r_4n = r_loop
