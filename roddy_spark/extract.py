@@ -134,14 +134,23 @@ import re as _re
 import numpy as np
 
 _BAD_CONSTRUCT_RE = _re.compile(r"(?is)<!--|<script|<style|<!\[|<\?")
+# a '<' inside a quoted attribute value (e.g. <div title="<a href=...">)
+# means an <a the regex would extract may really be attribute TEXT of
+# another tag — such pages are demoted to the HTMLParser path (ADVICE r2).
+# May over-match in plain text ('=' then a quote then '<'), which only
+# costs a fallback, never a divergence.
+_QUOTED_LT_RE = _re.compile(r"(?s)=\s*\"[^\"]*<|=\s*'[^']*<")
 _ANCHOR_ANY_RE = _re.compile(r"(?is)<a(?=[\s>/])")
 _ANCHOR_STRICT_RE = _re.compile(
     r"(?is)<a((?:\s+[a-z_][\w-]*(?:\s*=\s*\"[^\"<>]*\")?)*)\s*/?>")
 _BASE_ANY_RE = _re.compile(r"(?is)<base(?=[\s>/])")
 _BASE_STRICT_RE = _re.compile(
     r"(?is)<base((?:\s+[a-z_][\w-]*(?:\s*=\s*\"[^\"<>]*\")?)*)\s*/?>")
-_HREF_RE = _re.compile(r"(?is)\bhref\s*=\s*\"([^\"]*)\"")
-_REL_RE = _re.compile(r"(?is)\brel\s*=\s*\"([^\"]*)\"")
+# (?<![\w-]) not \b: \b matches between '-' and 'h', so data-href= /
+# data-rel= would be misread as href=/rel= (ADVICE r2); HTMLParser treats
+# data-* as distinct attributes, and so must the fast path.
+_HREF_RE = _re.compile(r"(?is)(?<![\w-])href\s*=\s*\"([^\"]*)\"")
+_REL_RE = _re.compile(r"(?is)(?<![\w-])rel\s*=\s*\"([^\"]*)\"")
 # entity / charref anywhere in a value → decode (cheap per-value fallback)
 _ENTITY_RE = _re.compile(r"&[#a-zA-Z]")
 
@@ -165,7 +174,8 @@ def extract_links_fast(html: pd.Series):
     idx = html.index
     s = html.astype("object")
     notna = s.notna()
-    simple = notna & ~s.str.contains(_BAD_CONSTRUCT_RE, na=False)
+    simple = (notna & ~s.str.contains(_BAD_CONSTRUCT_RE, na=False)
+              & ~s.str.contains(_QUOTED_LT_RE, na=False))
     n_any = s.str.count(_ANCHOR_ANY_RE).where(notna, 0).astype(int)
     n_strict = s.str.count(_ANCHOR_STRICT_RE).where(notna, 0).astype(int)
     b_any = s.str.count(_BASE_ANY_RE).where(notna, 0).astype(int)

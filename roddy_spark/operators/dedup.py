@@ -148,7 +148,12 @@ class ShardedBloom:
             mine.merge(theirs)
 
     def _split(self, hashes: np.ndarray) -> np.ndarray:
-        return (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(int)
+        # Signed floor-mod (numpy int64 % positive n is non-negative) so the
+        # lookup shard matches Spark's pmod(hash, n) used by the distributed
+        # build; uint64 % n diverges for negative hashes whenever n is not a
+        # power of two, which made ~half the visited set bloom-NEGATIVE
+        # (silent re-crawl) with e.g. 10 shards (ADVICE r2).
+        return (hashes.astype(np.int64) % np.int64(self.n_shards)).astype(int)
 
     def add(self, hashes: np.ndarray) -> None:
         hashes = np.asarray(hashes, dtype=np.int64)

@@ -78,10 +78,13 @@ class SnapshotStore:
     def __init__(self, root: str, visited_buckets: int = 0):
         self.root = root
         self.visited_buckets = visited_buckets
-        # catalog entry name: unique per store instance (the in-memory
-        # catalog is session-global and tests share a session)
-        import uuid
-        self._visited_table = f"rs_visited_{uuid.uuid4().hex[:12]}"
+        # catalog entry name: deterministic per store ROOT (not per
+        # instance) — resumed crawls / repeated store construction over one
+        # path reuse a single catalog entry instead of leaking
+        # rs_visited_<uuid> definitions in a long-lived session (ADVICE r2)
+        import hashlib
+        digest = hashlib.sha1(os.path.abspath(root).encode()).hexdigest()
+        self._visited_table = f"rs_visited_{digest[:12]}"
         os.makedirs(root, exist_ok=True)
 
     # -- bucketed visited table ----------------------------------------
@@ -89,11 +92,12 @@ class SnapshotStore:
         return os.path.join(self.root, "visited_bucketed")
 
     def _ensure_visited_table(self, spark: SparkSession) -> None:
+        # pre-create the location: a CREATE TABLE over a missing dir makes
+        # the first insert's file listing log a WARN + stacktrace; also
+        # covers a stale catalog entry whose dir was deleted between runs
+        os.makedirs(self._visited_path(), exist_ok=True)
         if not spark.catalog.tableExists(self._visited_table):
             k = self.visited_buckets
-            # pre-create the location: a CREATE TABLE over a missing dir
-            # makes the first insert's file listing log a WARN + stacktrace
-            os.makedirs(self._visited_path(), exist_ok=True)
             spark.sql(
                 f"CREATE TABLE {self._visited_table} ("
                 "url_norm STRING, url_hash BIGINT, host STRING, depth INT, "

@@ -37,6 +37,31 @@ def test_sharded_bloom():
     assert sb.might_contain(xs).all()
 
 
+def test_sharded_bloom_non_power_of_two_negative_hashes(spark):
+    """Regression (ADVICE r2): the distributed build shards by Spark
+    pmod(hash, n) while lookup sharded by uint64 % n — for negative hashes
+    and a non-power-of-two shard count these disagree, so ~half the built
+    keys looked up in the WRONG shard (bloom false negatives → visited URLs
+    silently re-admitted). Lookup must use signed floor-mod."""
+    from pyspark.sql import functions as F
+
+    from roddy_spark.operators.dedup import sharded_bloom_from_hashes_df
+
+    df = spark.range(0, 4000).select(F.xxhash64("id").alias("url_hash"))
+    hashes = np.array([r[0] for r in df.collect()], dtype=np.int64)
+    assert (hashes < 0).any(), "fixture must include negative hashes"
+    for n_shards in (3, 7, 10):
+        built = sharded_bloom_from_hashes_df(df, capacity=1 << 13, fpp=0.01,
+                                             n_shards=n_shards)
+        misses = ~built.might_contain(hashes)
+        assert not misses.any(), (
+            f"{misses.sum()} bloom false negatives with {n_shards} shards")
+        # local add must route identically to the distributed build
+        local = ShardedBloom(capacity=1 << 13, fpp=0.01, n_shards=n_shards)
+        local.add(hashes)
+        assert local.might_contain(hashes).all()
+
+
 def test_distributed_build_equals_local(spark):
     hashes = list(range(-500, 500, 3))
     df = spark.createDataFrame([(h,) for h in hashes], ["url_hash"]) \

@@ -190,6 +190,17 @@ ADVERSARIAL_HTML = [
     '<a href="/&#65;">charref</a>',
     '<a rel="next" href="/revorder">attr order</a>',
     '<a data-x="1" href="/data">extra attrs</a>',
+    # data-* attrs must not be misread as href/rel (ADVICE r2: \b matched
+    # after '-', emitting phantom links / phantom rel=next)
+    '<a data-href="http://evil.test/phantom">no real href</a>'
+    '<a href="/ok2">k</a>',
+    '<a data-rel="next" href="/r">data-rel is not rel</a>',
+    '<a href="/x" data-href="/y">href plus data-href</a>',
+    '<base data-href="/bad" href="/good"/><a href="x">base data-href</a>',
+    # an <a nested in another tag's quoted attribute value is attribute
+    # TEXT, not a link — the page must fall back (ADVICE r2)
+    '<div title="<a href="http://x.test/">">quoted anchor (fallback)</div>',
+    "<div title='<a href=\"http://x.test/p\">'>sq wrap (fallback)</div>",
     '<a href="/a"><a href="/b">nested</a></a>',
     '<p class="description">no anchors</p>',
     None,
