@@ -32,10 +32,15 @@ FETCH_RESULT_EXTRA = StructType([
 
 
 BROADCAST_FRONTIER_MAX_ROWS = 2_000_000
+# byte bound on the broadcast decision (VERDICT r2): a row-count threshold
+# alone would happily broadcast a 2M-row frontier whose ctx maps make it
+# multi-GB. Callers pass an observed/measured estimate when they have one.
+BROADCAST_FRONTIER_MAX_BYTES = 1 << 30
 
 
 def fetch_join(to_fetch: DataFrame, pages: DataFrame,
-               frontier_rows: int | None = None) -> DataFrame:
+               frontier_rows: int | None = None,
+               frontier_bytes: int | None = None) -> DataFrame:
     """Declarative fetch: frontier → pages on canonical URL.
 
     Two physical strategies:
@@ -47,12 +52,17 @@ def fetch_join(to_fetch: DataFrame, pages: DataFrame,
         A left-outer join could never do this — Spark cannot broadcast the
         preserved side — and falls back to shuffling the pages table
         (~the whole web) every batch.
-      * sort-merge LEFT join when the batch size is unknown or huge.
+      * sort-merge LEFT join when the batch size is unknown or huge —
+        by ROW COUNT or by BYTES (``frontier_bytes`` is the crawler's
+        write-time observation of the batch's variable-width columns).
     """
     cols = _PAGE_COLS + (("set_cookie",) if "set_cookie" in pages.columns
                          else ())
     p = pages.select(*[F.col(c) for c in cols])
-    if frontier_rows is not None and frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS:
+    if (frontier_rows is not None
+            and frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS
+            and (frontier_bytes is None
+                 or frontier_bytes <= BROADCAST_FRONTIER_MAX_BYTES)):
         hits = (p.join(F.broadcast(to_fetch), p.url == to_fetch.url_norm,
                        "inner").drop("url"))
         # 404s = frontier rows with no page: anti-join against the HITS key
@@ -111,21 +121,24 @@ def fetch_mapinpandas(to_fetch: DataFrame, page_lookup: dict,
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
             _proxy = bc_proxies.value[pid % len(bc_proxies.value)]
         for pdf in batches:
-            statuses, ctypes, bodies = [], [], []
-            for u in pdf["url_norm"]:
-                row = store.get(u)
-                if row is None:
-                    statuses.append(404)
-                    ctypes.append(None)
-                    bodies.append(None)
-                else:
-                    statuses.append(row[0])
-                    ctypes.append(row[1])
-                    bodies.append(row[2])
             out = pdf.copy()
-            out["status"] = pd.Series(statuses, dtype="int32")
-            out["content_type"] = ctypes
-            out["body_html"] = bodies
+            # hash-map lookup via Series.map (C loop), not a Python
+            # per-row loop (VERDICT r2 item 8)
+            hit = pdf["url_norm"].map(store)
+            found = hit.notna()
+            status = pd.Series(404, index=pdf.index, dtype="int64")
+            ctype = pd.Series([None] * len(pdf), index=pdf.index,
+                              dtype="object")
+            body = pd.Series([None] * len(pdf), index=pdf.index,
+                             dtype="object")
+            if found.any():
+                t = pd.DataFrame(hit[found].tolist(), index=hit[found].index)
+                status[found] = t[0].astype("int64")
+                ctype[found] = t[1]
+                body[found] = t[2]
+            out["status"] = status.astype("int32")
+            out["content_type"] = ctype
+            out["body_html"] = body
             out["success"] = out["status"] < 400
             yield out
 

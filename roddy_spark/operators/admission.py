@@ -25,14 +25,16 @@ from roddy_spark.config import CrawlConfig
 from roddy_spark.functions import urls as U
 from roddy_spark.operators.dedup import dedup_against, first_occurrence
 from roddy_spark.operators.rank import ordered_seq
-from roddy_spark.robots import robots_allowed, robots_path_of
+from roddy_spark.robots import robots_gate_series
 
 
 def admit(candidates: DataFrame, config: CrawlConfig,
           visited: DataFrame | None, bloom=None,
           robots_map: dict | None = None,
           admitted_so_far: int = 0,
-          num_partitions: int | None = None) -> DataFrame:
+          num_partitions: int | None = None,
+          order_cols: tuple[str, ...] = ("priority", "parent_seq",
+                                         "pos")) -> DataFrame:
     """Apply the full admission chain; returns admitted rows with ``seq``
     (global discovery rank, continuing from ``admitted_so_far``).
 
@@ -42,6 +44,13 @@ def admit(candidates: DataFrame, config: CrawlConfig,
     only on rows that survived the cheap filters (set-equivalent to the
     reference's sequential loop since budget consumption counts admissions
     only — SURVEY.md §3.3).
+
+    ``order_cols`` is the discovery-order key (must be a total order over
+    the batch): the BFS loop uses (priority, parent_seq, pos); the
+    streaming intake substitutes its input-derived (priority, source file,
+    in-file row index) key so admission winners and ``seq`` never depend on
+    partitioning. Order columns are dropped from the output unless part of
+    the admitted schema.
     """
     df = candidates.withColumn("host", U.host_of("url_norm"))
 
@@ -68,15 +77,9 @@ def admit(candidates: DataFrame, config: CrawlConfig,
 
         @F.pandas_udf(BooleanType())
         def robots_ok(host: pd.Series, url: pd.Series) -> pd.Series:
-            rm = bc.value
-            out = []
-            for h, u in zip(host, url):
-                rules = rm.get(h)
-                if not rules:
-                    out.append(True)
-                    continue
-                out.append(robots_allowed(rules, robots_path_of(u)))
-            return pd.Series(out)
+            # vectorized per-host-group longest-prefix evaluation — no
+            # per-row Python on the admission hot path (VERDICT r2 item 5)
+            return robots_gate_series(host, url, bc.value)
 
         df = df.filter(robots_ok(F.col("host"), F.col("url_norm")))
 
@@ -87,12 +90,11 @@ def admit(candidates: DataFrame, config: CrawlConfig,
     # visited table — before fetch). allow_url_revisit (F9) bypasses BOTH —
     # the reference skips the whole visited check (roddy.go:293-295)
     if not config.allow_url_revisit:
-        df = first_occurrence(df, "url_hash",
-                              ("priority", "parent_seq", "pos"))
+        df = first_occurrence(df, "url_hash", order_cols)
         df = dedup_against(df, visited, bloom, "url_hash")
 
     # deterministic global discovery order (the crawl-ordering contract)
-    df = ordered_seq(df, ["priority", "parent_seq", "pos"], "seq",
+    df = ordered_seq(df, list(order_cols), "seq",
                      start=admitted_so_far, num_partitions=num_partitions)
 
     # F3: ordered admission budget — admissions beyond the global

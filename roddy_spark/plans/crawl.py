@@ -49,6 +49,26 @@ from roddy_spark.operators.rank import release_rank_caches
 PRIORITY_PAGING = 0
 PRIORITY_CHILD = 1
 
+# Hook detach semantics (reference: roddy.go:404-422 On*Detach +
+# callback_options.go wrapper hooks): a registered hook can UNREGISTER
+# itself mid-crawl. Two surfaces:
+#   * return DETACH from the hook — the current batch proceeds as if the
+#     hook were absent and the slot is cleared for all later batches;
+#   * wrap with once(fn) — fn fires for exactly one batch (its result
+#     applies), then the slot is cleared.
+DETACH = object()
+
+
+def once(fn):
+    """Hook wrapper: fire for exactly ONE batch, then detach (the batch
+    analog of the reference's self-removing callback options,
+    callback_options.go:1-21)."""
+    def wrapper(df):
+        wrapper._rs_detach = True
+        return fn(df)
+    wrapper._rs_detach = False
+    return wrapper
+
 CANDIDATE_SCHEMA = StructType([
     StructField("url_norm", StringType()),
     StructField("depth", IntegerType()),
@@ -58,6 +78,17 @@ CANDIDATE_SCHEMA = StructType([
     # reference Context (context.go:8-52): parent→child propagated user map
     StructField("ctx", MapType(StringType(), StringType())),
 ])
+
+
+def _row_bytes_agg(df: DataFrame):
+    """Approximate serialized bytes of a frontier batch's VARIABLE-width
+    columns, as a write-time Observation aggregate — JSON length is a
+    close-enough proxy for broadcast sizing (fixed-width columns are added
+    as a per-row constant by the caller). Rides on the batch write; no
+    extra job."""
+    var_cols = [c for c in ("url_norm", "host", "ctx") if c in df.columns]
+    return F.sum(F.coalesce(
+        F.octet_length(F.to_json(F.struct(*var_cols))), F.lit(0)))
 
 
 class SnapshotStore:
@@ -454,6 +485,7 @@ class Crawler:
                                      for r in jar.collect()})
             n_cand = candidates.count() if candidates is not None else 0
             n_pending = pending.count() if pending is not None else 0
+            pending_bytes = None if n_pending else 0  # unknown after resume
             bloom = (self._build_bloom(visited)
                      if self._bloom_active(admitted_count) else None)
         else:
@@ -472,6 +504,7 @@ class Crawler:
             n_cand = candidates.count()
             pending = None
             n_pending = 0
+            pending_bytes = 0
             visited = None
             bloom = (self._build_bloom(None)
                      if self._bloom_active(0) else None)
@@ -499,11 +532,14 @@ class Crawler:
                                  num_partitions=self._width(n_cand))
                 obs_adm = Observation(f"adm_{batch}")
                 store.write_visited(
-                    admitted.observe(obs_adm, F.count(F.lit(1)).alias("n"))
+                    admitted.observe(
+                        obs_adm, F.count(F.lit(1)).alias("n"),
+                        _row_bytes_agg(admitted).alias("bytes"))
                     .withColumn("batch", F.lit(batch)), batch)
                 release_rank_caches()
                 admitted = store.read_visited(spark, batch).drop("batch")
                 n_admitted = int(obs_adm.get["n"])
+                adm_bytes = int(obs_adm.get["bytes"] or 0) + 32 * n_admitted
                 admitted_count += n_admitted
                 if bloom is None and self._bloom_active(admitted_count):
                     bloom = self._build_bloom(store.read_visited(spark))
@@ -519,6 +555,7 @@ class Crawler:
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
+                adm_bytes = 0
 
             # 2. politeness: pending ∪ newly admitted → fetch now vs defer.
             # With no per-host budget nothing is ever deferred — skip the
@@ -531,13 +568,17 @@ class Crawler:
                     pool, cfg.per_host_budget, cfg.salt_buckets)
                 obs_def = Observation(f"def_{batch}")
                 store.write(deferred.observe(
-                    obs_def, F.count(F.lit(1)).alias("n")), "pending", batch)
+                    obs_def, F.count(F.lit(1)).alias("n"),
+                    _row_bytes_agg(deferred).alias("bytes")),
+                    "pending", batch)
             else:
                 to_fetch = admitted
 
             # 2b. OnRequest hook — abort between admission and fetch
             if self.on_request is not None:
-                to_fetch = self.on_request(to_fetch)
+                r = self._fire_hook("on_request", to_fetch)
+                if r is not None:
+                    to_fetch = r
 
             # 3. fetch (the admitted rows are already durably visited);
             # error classification per F12 (ignored errors → NULL effective)
@@ -548,6 +589,14 @@ class Crawler:
             if "frontier_rows" in fparams:
                 # known batch bound → broadcast-frontier fetch strategy
                 fkw["frontier_rows"] = n_admitted + n_pending
+            if "frontier_bytes" in fparams:
+                # write-time byte observation gates the broadcast by SIZE,
+                # not just row count — fat-ctx frontiers take the SMJ path
+                # (VERDICT r2 item 6). Unknown pending bytes (resume) →
+                # None only for that component, counted as 64B/row floor.
+                fkw["frontier_bytes"] = adm_bytes + (
+                    pending_bytes if pending_bytes is not None
+                    else 64 * n_pending)
             if "cookies" in fparams:
                 # cookie-aware fetcher gets the CURRENT jar snapshot
                 fkw["cookies"] = dict(self.cookies)
@@ -566,9 +615,11 @@ class Crawler:
             # persist; dropped rows are suppressed (never stored/expanded/
             # counted). Fired BEFORE the counters observe, by design.
             if self.on_response is not None:
-                kept = self.on_response(fetched.filter(F.col("success")))
-                fetched = kept.select(*fetched.columns).unionByName(
-                    fetched.filter(~F.col("success")))
+                kept = self._fire_hook("on_response",
+                                       fetched.filter(F.col("success")))
+                if kept is not None:
+                    fetched = kept.select(*fetched.columns).unionByName(
+                        fetched.filter(~F.col("success")))
             fetched = fetched.observe(
                 obs_f, F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("success").cast("long")).alias("ok"),
@@ -619,8 +670,10 @@ class Crawler:
             # durable errors table; reads the already-persisted fetches
             # snapshot, so nothing is recomputed
             if self.on_error is not None:
-                store.write(self.on_error(
-                    fetched.filter(~F.col("success"))), "errors", batch)
+                res = self._fire_hook("on_error",
+                                      fetched.filter(~F.col("success")))
+                if res is not None:
+                    store.write(res, "errors", batch)
 
             # 4. expansion → next batch's candidates (paging gated by F11)
             allow_paging = not (cfg.max_page_num
@@ -635,8 +688,10 @@ class Crawler:
             # 4b. OnScraped slot — fired LAST, after expansion, per the
             # reference's callback order (roddy.go:241-247)
             if self.on_scraped is not None:
-                store.write(self.on_scraped(
-                    fetched.filter(F.col("success"))), "scraped", batch)
+                res = self._fire_hook("on_scraped",
+                                      fetched.filter(F.col("success")))
+                if res is not None:
+                    store.write(res, "scraped", batch)
 
             # 5. metrics + snapshot commit
             batches.append({
@@ -656,12 +711,28 @@ class Crawler:
             if cfg.per_host_budget:
                 pending = store.read(spark, "pending", batch)
                 n_pending = int(obs_def.get["n"]) if obs_def else 0
+                pending_bytes = ((int(obs_def.get["bytes"] or 0)
+                                  + 32 * n_pending) if obs_def else 0)
             visited = store.read_visited(spark)
 
         final = store.manifest() or {}
         final["done"] = True
         store.commit_manifest(final)
         return CrawlState(store, batches, admitted_count, success_count)
+
+    def _fire_hook(self, slot: str, df: DataFrame):
+        """Invoke the hook in ``slot`` honoring detach semantics: a DETACH
+        return (or a once()-wrapped hook after firing) clears the slot.
+        Returns the hook's result, or None when the hook returned DETACH
+        (the caller treats the batch as if the hook were absent)."""
+        hook = getattr(self, slot)
+        out = hook(df)
+        if out is DETACH:
+            setattr(self, slot, None)
+            return None
+        if getattr(hook, "_rs_detach", False):
+            setattr(self, slot, None)
+        return out
 
     def _bloom_active(self, visited_count: int) -> bool:
         if self.config.bloom_mode == "on":

@@ -58,15 +58,12 @@ def _admissible(df: DataFrame, config: CrawlConfig,
     if config.allowed_domains:
         df = df.filter(host.isin(*config.allowed_domains))
     if config.respect_robots and robots_map:
-        from roddy_spark.robots import robots_allowed, robots_path_of
+        from roddy_spark.robots import robots_gate_series
         bc = df.sparkSession.sparkContext.broadcast(robots_map)
 
         @F.pandas_udf("boolean")
         def ok(url: pd.Series, h: pd.Series) -> pd.Series:
-            return pd.Series([
-                robots_allowed(bc.value[hh], robots_path_of(u))
-                if hh in bc.value else True
-                for u, hh in zip(url, h)])
+            return robots_gate_series(h, url, bc.value)
 
         df = df.filter(ok(F.col("url_norm"), host))
     return df

@@ -68,3 +68,62 @@ def robots_path_of(url: str) -> str:
         return "/"
     path = parts.path or "/"
     return f"{path}?{parts.query}" if parts.query else path
+
+
+# ---------------------------------------------------------------------------
+# Vectorized gate — the admission hot path (VERDICT r2 item 5).
+#
+# The per-row zip(host, url) loop cost ~the whole robots stage; rule maps
+# are tiny but candidate batches are not. Shape: split each URL with ONE
+# C-speed str.extract using the RFC 3986 generic grammar (the same split
+# urlsplit performs — scheme://authority stops at the first of / ? #), then
+# evaluate longest-prefix rules per HOST GROUP with vectorized
+# str.startswith, one pass per rule (rule lists are a handful of entries).
+# Rows whose URL lacks a scheme://authority shape (never true for
+# canonicalizer output) fall back to the scalar path. Row-for-row parity
+# with robots_allowed(rules, robots_path_of(url)) is property-pinned in
+# tests/test_robots_vec.py.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_URL_SCHEME_RE = _re.compile(r"(?is)^[a-z][a-z0-9+.\-]*://")
+_URL_PARTS_RE = _re.compile(
+    r"(?is)^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)?(\?[^#]*)?(?:#.*)?\Z")
+
+
+def robots_gate_series(host, url, rules_map: dict):
+    """True/False per row: is ``url`` allowed by ``rules_map[host]``?
+    pandas-Series-in/Series-out; hosts without rules are allowed."""
+    import numpy as np
+    import pandas as pd
+
+    out = pd.Series(True, index=host.index)
+    if not rules_map:
+        return out
+    groups = host.groupby(host).indices  # host → int positions
+    active = [h for h in groups if rules_map.get(h)]
+    if not active:
+        return out
+
+    parts = url.str.extract(_URL_PARTS_RE)
+    fast = url.str.match(_URL_SCHEME_RE).fillna(False).astype(bool)
+    paths = (parts[0].fillna("/")
+             + parts[1].fillna("").replace("?", ""))  # '?' alone = no query
+    if not fast.all():
+        slow = url.index[~fast & url.notna()]
+        paths.loc[slow] = [robots_path_of(u) for u in url.loc[slow]]
+
+    for h in active:
+        pos = groups[h]
+        p = paths.iloc[pos]
+        best_len = np.full(len(p), -1)
+        best_allow = np.ones(len(p), dtype=bool)
+        for allow, prefix in rules_map[h]:
+            m = p.str.startswith(prefix).to_numpy()
+            ln = len(prefix)
+            upd = m & ((ln > best_len) | ((best_len == ln) & allow))
+            best_len[upd] = ln
+            best_allow[upd] = allow
+        out.iloc[pos] = best_allow
+    return out

@@ -198,3 +198,59 @@ def test_hook_firing_order(spark, web, tmp_path):
     assert per_batch and all(
         b == ["request", "response", "error", "scraped"]
         for b in per_batch), calls
+
+
+def test_hook_once_fires_single_batch(spark, web, tmp_path):
+    """once()-wrapped hooks fire for exactly ONE batch then detach — the
+    batch analog of the reference's self-removing callback registration
+    (roddy.go:404-422 detach + callback_options.go wrappers)."""
+    from roddy_spark.plans.crawl import once
+
+    _, pages_df = web
+    calls = []
+
+    def on_scraped(df):
+        calls.append(1)
+        return df.select("url_norm", "batch")
+
+    crawler = Crawler(spark, CrawlConfig(max_depth=3), pages_df,
+                      str(tmp_path / "once"), on_scraped=once(on_scraped))
+    state = crawler.run(["http://h0.test/"])
+    assert len(state.batches) > 1, "fixture must crawl multiple batches"
+    assert len(calls) == 1
+    assert crawler.on_scraped is None
+    # only batch 1 reached the scraped table
+    batches = {r["batch"] for r in state.scraped(spark).collect()}
+    assert batches == {1}
+
+
+def test_hook_detach_return_mid_crawl(spark, web, tmp_path):
+    """A hook that returns DETACH unregisters itself: the current batch
+    proceeds as if the hook were absent and later batches never fire it.
+    Here on_response suppresses every success in batch 1 (so the crawl
+    would END if it stayed registered) and detaches in batch 2 — the
+    crawl must continue past it."""
+    from roddy_spark.plans.crawl import DETACH
+
+    pages_dict, pages_df = web
+    calls = []
+
+    # batch 1: pass-through; batch 2: DETACH — everything flows
+    # untouched afterwards and the slot clears
+    def on_response2(df):
+        calls.append(1)
+        if len(calls) == 1:
+            return df
+        return DETACH
+
+    crawler = Crawler(spark, CrawlConfig(max_depth=3), pages_df,
+                      str(tmp_path / "detach"), on_response=on_response2)
+    state = crawler.run(["http://h0.test/"])
+    assert len(state.batches) > 2
+    assert len(calls) == 2, "hook must not fire after returning DETACH"
+    assert crawler.on_response is None
+    # detach is behavior-neutral: same crawl as with no hook at all
+    exp = crawl_oracle(pages_dict, ["http://h0.test/"],
+                       CrawlConfig(max_depth=3))
+    got = {r["url_norm"] for r in state.visited(spark).collect()}
+    assert got == exp.visited_urls

@@ -169,3 +169,42 @@ def test_bucketed_antijoin_stage_flat_as_visited_grows(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_fetch_join_byte_bound_takes_smj_path(spark, monkeypatch):
+    """The broadcast-frontier decision is gated by BYTES as well as rows
+    (VERDICT r2 item 6): a small-row-count frontier whose observed bytes
+    exceed the bound must take the sort-merge LEFT-join path (no frontier
+    broadcast hint), with identical results."""
+    from roddy_spark import fetch as FE
+
+    frontier = spark.range(6).select(
+        F.concat(F.lit("http://h.test/"), F.col("id")).alias("url_norm"),
+        F.lit(1).alias("depth"), F.lit(1).alias("priority"),
+        F.col("id").alias("seq"))
+    pages = spark.createDataFrame(
+        [(f"http://h.test/{i}", 200, "text/html", "<html>x</html>")
+         for i in (0, 2, 4)],
+        ["url", "status", "content_type", "body_html"])
+
+    seen = []
+    real = FE.F.broadcast
+
+    def spy(df):
+        seen.append(df)
+        return real(df)
+
+    def rows(df):
+        return sorted((r["url_norm"], r["status"], r["success"])
+                      for r in df.collect())
+
+    monkeypatch.setattr(FE.F, "broadcast", spy)
+    big = FE.BROADCAST_FRONTIER_MAX_BYTES + 1
+    got_smj = rows(FE.fetch_join(frontier, pages, frontier_rows=6,
+                                 frontier_bytes=big))
+    assert not seen, "frontier must NOT be broadcast above the byte bound"
+    got_bcast = rows(FE.fetch_join(frontier, pages, frontier_rows=6,
+                                   frontier_bytes=1024))
+    assert seen, "small frontier below both bounds must broadcast"
+    assert got_smj == got_bcast
+    assert {s for (_, s, _) in got_smj} == {200, 404}
