@@ -819,6 +819,173 @@ def q_crawl_bfs(spark, sf_dir):
     return df
 
 
+# ---------------------------------------------------------------------------
+# Oracled crawl ORDER (VERDICT r2 item 4): the BFS admission order and the
+# sync-DFS preorder, hash-checked against DuckDB recursive CTEs.
+#
+# The trick: crawl a web whose link structure is defined RELATIONALLY —
+# seed page → one anchor per order (by o_orderkey), each order page → one
+# anchor per lineitem (by l_linenumber) to its part page — so the oracle
+# can re-derive the exact edge set in SQL and replay the ordering contract
+# over path vectors:
+#   * BFS (roddy.go:250-310 + queue FIFO, queue/queue.go:108-208): a URL's
+#     admission level is its shortest hop count, and within a level the
+#     (priority, parent_seq, pos) rank equals lexicographic order of the
+#     minimal path vector (parents' seq order IS their path order, by
+#     induction over levels) → ORDER BY (len(path), path).
+#   * DFS (roddy.go sync mode; plans/dfs.py fixpoint): the visit path is
+#     the lexicographically minimal admissible path, and preorder is plain
+#     ORDER BY path (prefix sorts before extension). This SQL twin is exact
+#     here because every path in this 3-level DAG is within max_depth — no
+#     depth-truncation retraction, the one case where DFS order diverges
+#     from min-path order (lex-first DFS on general graphs is inherently
+#     sequential — Reif 1985).
+# The engine side runs the REAL loops (Crawler / dfs_preorder) including
+# HTML anchor extraction of the generated bodies.
+# ---------------------------------------------------------------------------
+
+_SHOP_MAX_OKEY = 120
+
+
+def _shop_pages(spark, sf_dir):
+    """Deterministic relational 3-level web over orders/lineitem:
+    http://shop.test/ → /o/<orderkey> → /p/<partkey>."""
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") < _SHOP_MAX_OKEY)
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SHOP_MAX_OKEY)
+          .select("l_orderkey", "l_linenumber", "l_partkey"))
+
+    def anchors(pairs_col):
+        return F.concat_ws("", F.transform(F.array_sort(pairs_col),
+                                           lambda s: s["a"]))
+
+    o_anchor = F.concat(F.lit('<a href="http://shop.test/o/'),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit('">o</a>'))
+    seed = orders.agg(anchors(F.collect_list(F.struct(
+        F.col("o_orderkey").alias("k"), o_anchor.alias("a"))))
+        .alias("body_html")).select(
+        F.lit("http://shop.test/").alias("url"), "body_html")
+    p_anchor = F.concat(F.lit('<a href="http://shop.test/p/'),
+                        F.col("l_partkey").cast("string"),
+                        F.lit('">p</a>'))
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    # the anchor order needs the explicit (linenumber, partkey) tiebreak
+    # mirrored in the oracle's ORDER BY
+    order_pages = (li.groupBy("l_orderkey")
+                   .agg(anchors(F.collect_list(F.struct(
+                       F.col("l_linenumber").alias("k"),
+                       F.col("l_partkey").alias("k2"),
+                       p_anchor.alias("a")))).alias("body_html"))
+                   .select(F.concat(F.lit("http://shop.test/o/"),
+                                    F.col("l_orderkey").cast("string"))
+                           .alias("url"), "body_html"))
+    part_pages = (li.select("l_partkey").distinct()
+                  .select(F.concat(F.lit("http://shop.test/p/"),
+                                   F.col("l_partkey").cast("string"))
+                          .alias("url"), F.lit("").alias("body_html")))
+    return (seed.unionByName(order_pages).unionByName(part_pages)
+            .select("url", F.lit(200).alias("status"),
+                    F.lit("text/html").alias("content_type"), "body_html"))
+
+
+def q_crawl_bfs_order(spark, sf_dir):
+    """Full Crawler loop (admission, dedup, expansion, seq assignment) on
+    the relational shop web; output (url_norm, depth, seq) hash-matches the
+    recursive-CTE BFS oracle."""
+    import tempfile
+
+    from roddy_spark.config import CrawlConfig
+    from roddy_spark.plans.crawl import Crawler
+    pages = _shop_pages(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            state = Crawler(spark, CrawlConfig(max_depth=3), pages,
+                            ckpt).run(["http://shop.test/"])
+            df = state.visited(spark).select("url_norm", "depth", "seq")
+            df = spark.createDataFrame(df.collect(), df.schema)  # detach
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return df
+
+
+def q_crawl_dfs_order(spark, sf_dir):
+    """Sync-DFS preorder (plans/dfs.py lexicographic-path fixpoint) on the
+    relational shop web; hash-matches the recursive-CTE min-path oracle."""
+    from roddy_spark.config import CrawlConfig
+    from roddy_spark.plans.dfs import dfs_preorder
+    pages = _shop_pages(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return dfs_preorder(spark, pages, ["http://shop.test/"],
+                            CrawlConfig(max_depth=3))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_SHOP_EDGES_SQL = f"""
+edges AS (
+  SELECT 'http://shop.test/' AS parent,
+         'http://shop.test/o/' || CAST(o_orderkey AS VARCHAR) AS child,
+         CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS INT) AS pos
+  FROM orders WHERE o_orderkey < {_SHOP_MAX_OKEY}
+  UNION ALL
+  SELECT 'http://shop.test/o/' || CAST(l_orderkey AS VARCHAR),
+         'http://shop.test/p/' || CAST(l_partkey AS VARCHAR),
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) - 1
+              AS INT)
+  FROM lineitem WHERE l_orderkey < {_SHOP_MAX_OKEY}
+)"""
+
+SQL_CRAWL_BFS_ORDER = f"""
+WITH RECURSIVE
+{_SHOP_EDGES_SQL},
+walk(url, path) AS (
+  SELECT 'http://shop.test/', CAST([] AS INT[])
+  UNION ALL
+  SELECT e.child, list_append(w.path, e.pos)
+  FROM walk w JOIN edges e ON e.parent = w.url
+  WHERE len(w.path) < 2
+),
+best AS (
+  SELECT url, path, row_number() OVER (
+           PARTITION BY url ORDER BY len(path), path) AS rn
+  FROM walk
+)
+SELECT url AS url_norm,
+       CAST(len(path) + 1 AS INT) AS depth,
+       CAST(row_number() OVER (ORDER BY len(path), path) - 1 AS BIGINT)
+         AS seq
+FROM best WHERE rn = 1
+"""
+
+SQL_CRAWL_DFS_ORDER = f"""
+WITH RECURSIVE
+{_SHOP_EDGES_SQL},
+walk(url, path) AS (
+  SELECT 'http://shop.test/', CAST([0] AS INT[])
+  UNION ALL
+  SELECT e.child, list_append(w.path, e.pos)
+  FROM walk w JOIN edges e ON e.parent = w.url
+  WHERE len(w.path) < 3
+),
+best AS (
+  SELECT url, path,
+         row_number() OVER (PARTITION BY url ORDER BY path) AS rn
+  FROM walk
+)
+SELECT url AS url_norm,
+       CAST(len(path) AS INT) AS depth,
+       CAST(row_number() OVER (ORDER BY path) - 1 AS BIGINT) AS seq
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_host_hash": q_url_host_hash,
@@ -855,6 +1022,8 @@ QUERIES = {
     "frontier_stream_ingest": q_frontier_stream_ingest,
     "crawl_bfs": q_crawl_bfs,
     "crawl_dfs": q_crawl_dfs,
+    "crawl_bfs_order": q_crawl_bfs_order,
+    "crawl_dfs_order": q_crawl_dfs_order,
 }
 
 ORACLES = {
@@ -886,6 +1055,12 @@ ORACLES = {
     "hourly_rollup": SQL_HOURLY_ROLLUP,
     "json_props": SQL_JSON_PROPS,
     "frontier_admission": SQL_FRONTIER_ADMISSION,
-    # image_decode_validate / phash_neardup / crawl_bfs: rows-only
-    # (binary decode + iterative multi-job loop are not SQL-expressible)
+    # the iterative loops on the RELATIONAL web are oracled via recursive
+    # CTEs (path-vector replay of the ordering contract):
+    "crawl_bfs_order": SQL_CRAWL_BFS_ORDER,
+    "crawl_dfs_order": SQL_CRAWL_DFS_ORDER,
+    # image_decode_validate / phash_neardup: rows-only (binary decode is
+    # not SQL-expressible). crawl_bfs / crawl_dfs run on the synthetic
+    # HTML web (generator-defined links — no SQL twin); their ordering
+    # contract is hash-checked via crawl_{bfs,dfs}_order instead.
 }
