@@ -65,3 +65,28 @@ def test_dfs_robots(spark, web):
     want = dfs_oracle(pages_dict, ["http://h0.test/"], cfg,
                       robots_rows=robots_rows)
     assert got == want and got
+
+
+def test_dfs_semi_naive_delta_shrinks(spark, web):
+    """The targeted-Jacobi iteration recomputes only nodes downstream of a
+    change: on the deep-web fixture the per-round changed-set must shrink
+    to a small tail instead of staying at the full node count every round
+    (VERDICT r2 item 7), while the result still equals the recursive
+    oracle (covered by the equality tests above)."""
+    pages_dict, pages_df = web
+    cfg, seeds = CONFIGS["depth4_two_seeds"]
+    stats = {}
+    out = dfs_preorder(spark, pages_df, seeds, cfg, stats=stats)
+    n_nodes = out.count()
+    deltas = stats["delta_rows"]
+    assert stats["rounds"] >= 3, deltas
+    # convergence: the last pre-termination delta is a small fraction of
+    # the node count (whole-table Jacobi would report n_nodes-scale
+    # "changes" until the final round under this accounting's analog)
+    assert deltas[-1] == 0
+    tail = deltas[-2]
+    assert tail < max(4, n_nodes // 4), (deltas, n_nodes)
+    # total recomputation work is bounded: sum of deltas stays within a
+    # few multiples of the node count (each node settles after O(1)
+    # recomputations on this web), not rounds × n_nodes
+    assert sum(deltas) < 6 * n_nodes, (deltas, n_nodes)
