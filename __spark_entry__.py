@@ -3,8 +3,10 @@
 ``entry(spark)`` runs the flagship composed frontier-admission query on
 sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
 plus the training-data pipeline operators; ``oracle_sql()`` gives each one's
-DuckDB ANSI-SQL twin (rows-only ops — binary image decode and the iterative
-BFS crawl loop — are intentionally absent there).
+DuckDB ANSI-SQL twin. The iterative crawl loops are hash-oracled via
+recursive CTEs over a relationally-defined web (``crawl_bfs_order`` /
+``crawl_dfs_order``); only binary-decode ops and the synthetic-HTML-web
+loop variants remain rows-only.
 
 Implementations live in roddy_spark/plans/contract.py; the engine itself is
 the roddy_spark package.
