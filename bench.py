@@ -323,6 +323,13 @@ def main() -> None:
     # sides and is about the RATIO, not peak throughput)
     r_full = None
     if not quick:
+        # size scan splits to the full box width (runtime-settable confs,
+        # applied after the query timings so those stay comparable) — the
+        # default 128 MiB splits + 4 MiB openCost would pack the scale
+        # web's ~5 MiB files into far fewer tasks than cores
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(_scan_split_bytes(scale_web_path, CPUS)))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
         warm_level(spark, web_path)
         full_runs = []
         for _ in range(3):

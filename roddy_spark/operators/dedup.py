@@ -222,6 +222,30 @@ def sharded_bloom_from_hashes_df(df: DataFrame, capacity: int,
     return proto
 
 
+def bloom_active(config, visited_count: int) -> bool:
+    """One place for the filter-activation policy (bloom_mode on/off/auto
+    with the auto threshold) — shared by the batch Crawler and the
+    streaming FrontierIngest so the two paths can never gate differently.
+    """
+    if config.bloom_mode == "on":
+        return True
+    if config.bloom_mode == "off":
+        return False
+    return visited_count >= config.bloom_min_visited
+
+
+def build_visited_bloom(config, visited: DataFrame | None) -> ShardedBloom:
+    """One place for filter construction (shard sizing from bloom_capacity
+    / bloom_max_shard_bytes; distributed build when a visited table
+    exists, empty filter otherwise) — shared by both intake paths."""
+    if visited is None:
+        return ShardedBloom(config.bloom_capacity, config.bloom_fpp,
+                            max_shard_bytes=config.bloom_max_shard_bytes)
+    return sharded_bloom_from_hashes_df(
+        visited, config.bloom_capacity, config.bloom_fpp,
+        max_shard_bytes=config.bloom_max_shard_bytes)
+
+
 def bloom_prefilter(candidates: DataFrame, bloom: "ShardedBloom | Bloom",
                     hash_col: str = "url_hash") -> DataFrame:
     """Tag each row with ``__maybe_seen`` from the broadcast bloom. A bloom

@@ -122,11 +122,42 @@ class SnapshotStore:
     def _visited_path(self) -> str:
         return os.path.join(self.root, "visited_bucketed")
 
+    def _bucket_spec_of(self, spark: SparkSession) -> int | None:
+        """Bucket count of the existing catalog entry, or None."""
+        try:
+            for r in spark.sql(
+                    f"DESCRIBE FORMATTED {self._visited_table}").collect():
+                if r["col_name"].strip() == "Num Buckets":
+                    return int(r["data_type"])
+        except Exception:
+            pass
+        return None
+
     def _ensure_visited_table(self, spark: SparkSession) -> None:
         # pre-create the location: a CREATE TABLE over a missing dir makes
         # the first insert's file listing log a WARN + stacktrace; also
         # covers a stale catalog entry whose dir was deleted between runs
         os.makedirs(self._visited_path(), exist_ok=True)
+        if spark.catalog.tableExists(self._visited_table):
+            # deterministic per-root naming can meet a STALE entry from an
+            # earlier store over the same root with a different bucket
+            # spec: reconcile rather than silently reuse. Over an empty
+            # location (root wiped/recreated) drop + recreate; over live
+            # data a bucket change would mis-route the storage-partitioned
+            # anti-join, so refuse (bucket-spec evolution over existing
+            # files is the caller's migration, as with Iceberg specs).
+            existing = self._bucket_spec_of(spark)
+            if existing is not None and existing != self.visited_buckets:
+                has_data = any(
+                    e.endswith(".parquet") or e.startswith("part-")
+                    for e in os.listdir(self._visited_path()))
+                if has_data:
+                    raise ValueError(
+                        f"visited table at {self._visited_path()} has "
+                        f"{existing} buckets but this store wants "
+                        f"{self.visited_buckets}; bucket-spec change over "
+                        "existing data requires an explicit migration")
+                spark.sql(f"DROP TABLE {self._visited_table}")
         if not spark.catalog.tableExists(self._visited_table):
             k = self.visited_buckets
             spark.sql(
@@ -449,15 +480,11 @@ class Crawler:
         """Sharded visited filter: shard count derives from bloom_capacity
         (ceil(filter_bytes / bloom_max_shard_bytes)), so at 10^10-key
         capacity every shard stays bounded and the distributed build merges
-        one shard bitmap at a time on the driver (constant memory)."""
-        cfg = self.config
-        if visited is None:
-            return ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp,
-                                max_shard_bytes=cfg.bloom_max_shard_bytes)
-        from roddy_spark.operators.dedup import sharded_bloom_from_hashes_df
-        return sharded_bloom_from_hashes_df(
-            visited, cfg.bloom_capacity, cfg.bloom_fpp,
-            max_shard_bytes=cfg.bloom_max_shard_bytes)
+        one shard bitmap at a time on the driver (constant memory).
+        Construction policy shared with the streaming intake
+        (operators.dedup.build_visited_bloom)."""
+        from roddy_spark.operators.dedup import build_visited_bloom
+        return build_visited_bloom(self.config, visited)
 
     # -- main loop ------------------------------------------------------
     def run(self, seeds: list[str] | None = None,
@@ -735,11 +762,8 @@ class Crawler:
         return out
 
     def _bloom_active(self, visited_count: int) -> bool:
-        if self.config.bloom_mode == "on":
-            return True
-        if self.config.bloom_mode == "off":
-            return False
-        return visited_count >= self.config.bloom_min_visited
+        from roddy_spark.operators.dedup import bloom_active
+        return bloom_active(self.config, visited_count)
 
     def _width(self, rows: int, rows_per_partition: int = 20_000) -> int:
         """Partition count sized to the data, capped at cluster width.

@@ -79,9 +79,14 @@ def robots_path_of(url: str) -> str:
 # urlsplit performs — scheme://authority stops at the first of / ? #), then
 # evaluate longest-prefix rules per HOST GROUP with vectorized
 # str.startswith, one pass per rule (rule lists are a handful of entries).
-# Rows whose URL lacks a scheme://authority shape (never true for
-# canonicalizer output) fall back to the scalar path. Row-for-row parity
-# with robots_allowed(rules, robots_path_of(url)) is property-pinned in
+# Only rows of hosts that HAVE rules are split at all (a batch where one
+# host in a million carries robots rules pays for that host's rows only).
+# Rows whose URL the regex could split differently from urlsplit — no
+# scheme://authority shape, embedded whitespace/control chars (urlsplit
+# strips \t\r\n anywhere), or '[' bracket hosts (urlsplit may raise on
+# malformed ones) — fall back to the scalar path; none of these occur in
+# canonicalizer output. Row-for-row parity with
+# robots_allowed(rules, robots_path_of(url)) is property-pinned in
 # tests/test_robots_vec.py.
 # ---------------------------------------------------------------------------
 
@@ -90,6 +95,9 @@ import re as _re
 _URL_SCHEME_RE = _re.compile(r"(?is)^[a-z][a-z0-9+.\-]*://")
 _URL_PARTS_RE = _re.compile(
     r"(?is)^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)?(\?[^#]*)?(?:#.*)?\Z")
+# anything urlsplit normalizes away (C0 controls, space) or parses with
+# host-validation (brackets) → scalar fallback
+_URL_ODD_RE = _re.compile(r"[\x00-\x20\[\]]")
 
 
 def robots_gate_series(host, url, rules_map: dict):
@@ -106,17 +114,23 @@ def robots_gate_series(host, url, rules_map: dict):
     if not active:
         return out
 
-    parts = url.str.extract(_URL_PARTS_RE)
-    fast = url.str.match(_URL_SCHEME_RE).fillna(False).astype(bool)
+    # compute match paths ONLY for rows whose host has rules
+    pos_all = np.concatenate([np.asarray(groups[h]) for h in active])
+    sub_url = url.iloc[pos_all]
+    parts = sub_url.str.extract(_URL_PARTS_RE)
+    fast = (sub_url.str.match(_URL_SCHEME_RE).fillna(False).astype(bool)
+            & ~sub_url.str.contains(_URL_ODD_RE, na=True))
     paths = (parts[0].fillna("/")
              + parts[1].fillna("").replace("?", ""))  # '?' alone = no query
     if not fast.all():
-        slow = url.index[~fast & url.notna()]
-        paths.loc[slow] = [robots_path_of(u) for u in url.loc[slow]]
+        slow = sub_url.index[~fast & sub_url.notna()]
+        paths.loc[slow] = [robots_path_of(u) for u in sub_url.loc[slow]]
 
+    offset = 0
     for h in active:
-        pos = groups[h]
-        p = paths.iloc[pos]
+        n = len(groups[h])
+        p = paths.iloc[offset:offset + n]
+        offset += n
         best_len = np.full(len(p), -1)
         best_allow = np.ones(len(p), dtype=bool)
         for allow, prefix in rules_map[h]:
@@ -125,5 +139,5 @@ def robots_gate_series(host, url, rules_map: dict):
             upd = m & ((ln > best_len) | ((best_len == ln) & allow))
             best_len[upd] = ln
             best_allow[upd] = allow
-        out.iloc[pos] = best_allow
+        out.iloc[groups[h]] = best_allow
     return out

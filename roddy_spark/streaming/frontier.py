@@ -48,7 +48,8 @@ from pyspark.sql.types import (IntegerType, StringType, StructField,
 from roddy_spark.config import CrawlConfig
 from roddy_spark.functions import urls as U
 from roddy_spark.operators.admission import admit
-from roddy_spark.operators.dedup import (ShardedBloom,
+from roddy_spark.operators.dedup import (ShardedBloom, bloom_active,
+                                         build_visited_bloom,
                                          sharded_bloom_from_hashes_df)
 from roddy_spark.operators.rank import release_rank_caches
 from roddy_spark.plans.crawl import SnapshotStore, _empty_visited
@@ -88,23 +89,12 @@ class FrontierIngest:
         self._admitted_total = 0
         self._bloom: ShardedBloom | None = None
 
-    # -- bloom lifecycle (mirrors plans/crawl.py Crawler) ----------------
+    # -- bloom lifecycle: shared policy/construction (operators.dedup) ---
     def _bloom_active(self, visited_count: int) -> bool:
-        cfg = self.config
-        if cfg.bloom_mode == "on":
-            return True
-        if cfg.bloom_mode == "off":
-            return False
-        return visited_count >= cfg.bloom_min_visited
+        return bloom_active(self.config, visited_count)
 
     def _build_bloom(self, visited: DataFrame | None) -> ShardedBloom:
-        cfg = self.config
-        if visited is None:
-            return ShardedBloom(cfg.bloom_capacity, cfg.bloom_fpp,
-                                max_shard_bytes=cfg.bloom_max_shard_bytes)
-        return sharded_bloom_from_hashes_df(
-            visited, cfg.bloom_capacity, cfg.bloom_fpp,
-            max_shard_bytes=cfg.bloom_max_shard_bytes)
+        return build_visited_bloom(self.config, visited)
 
     def _process_batch(self, raw: DataFrame, epoch_id: int) -> None:
         spark = self.spark

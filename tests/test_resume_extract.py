@@ -367,3 +367,36 @@ def test_authenticated_crawl_via_cookie_gate(spark, web, tmp_path):
     got2 = {r["url_norm"]: r["status"]
             for r in state2.fetches(spark).collect()}
     assert got2["http://h0.test/private/1"] == 403
+
+
+def test_visited_bucket_spec_reconciliation(spark, tmp_path):
+    """Deterministic per-root catalog naming must not silently reuse a
+    stale entry with a DIFFERENT bucket spec (review finding r3): over
+    live data a bucket change raises (mis-bucketed storage-partitioned
+    joins otherwise); over a wiped location the entry is dropped and
+    recreated with the new spec."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from roddy_spark.plans.crawl import SnapshotStore
+
+    root = str(tmp_path / "spec_store")
+    row = spark.createDataFrame(
+        [("http://h0.test/", 1, "h0.test", 1, 1, 0, None, 1)],
+        "url_norm string, url_hash long, host string, depth int, "
+        "priority int, seq long, ctx map<string,string>, batch int")
+    s8 = SnapshotStore(root, visited_buckets=8)
+    s8.write_visited(row, 1)
+    assert s8.read_visited(spark).count() == 1
+
+    s16 = SnapshotStore(root, visited_buckets=16)
+    with pytest.raises(ValueError, match="bucket"):
+        s16.read_visited(spark)
+
+    # wiped location → drop + recreate under the new spec
+    shutil.rmtree(root)
+    s16b = SnapshotStore(root, visited_buckets=16)
+    s16b.write_visited(row.withColumn("batch", F.lit(1)), 1)
+    assert s16b.read_visited(spark).count() == 1
+    assert s16b._bucket_spec_of(spark) == 16

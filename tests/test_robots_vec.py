@@ -77,6 +77,21 @@ def test_gate_scalar_fallback_for_unparseable():
     _check(hosts, urls)
 
 
+def test_gate_scalar_fallback_for_whitespace_and_brackets():
+    """urlsplit strips \\t\\r\\n anywhere and validates bracket hosts; the
+    regex split would diverge — such rows must take the scalar path
+    (review finding r3)."""
+    hosts = ["a.test", "a.test", "b.test", "b.test", "a.test"]
+    urls = [
+        "http://a.test/pri\tvate/x",     # tab inside path: urlsplit strips
+        "http://a.test/priv\nate",       # newline
+        "http://[::1/x",                 # malformed bracket host: raises
+        "http://[::1]/pub",              # valid bracket host
+        "http://a.test/private/ok y",    # raw space in path
+    ]
+    _check(hosts, urls)
+
+
 def test_gate_in_spark_admission(spark):
     """End-to-end through admit(): same admitted set as scalar evaluation."""
     from pyspark.sql import functions as F
