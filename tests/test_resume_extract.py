@@ -400,3 +400,34 @@ def test_visited_bucket_spec_reconciliation(spark, tmp_path):
     s16b.write_visited(row.withColumn("batch", F.lit(1)), 1)
     assert s16b.read_visited(spark).count() == 1
     assert s16b._bucket_spec_of(spark) == 16
+
+
+def test_export_visited_csv_json_roundtrip(spark, web, tmp_path):
+    """K4/K5 sinks (reference examples' CSV/JSON outcome): exported files
+    must round-trip the visited rows — values, ordering key, and (for
+    JSON) the ctx map — not just write without error."""
+    _, pages_df = web
+    state = Crawler(spark, CrawlConfig(max_depth=2), pages_df,
+                    str(tmp_path / "exp")).run(
+        [("http://h0.test/", {"job": "x"})])
+    want = sorted((r["url_norm"], r["depth"], r["seq"]) for r in
+                  state.visited(spark).collect())
+    assert want
+
+    csv_path = str(tmp_path / "out_csv")
+    state.export_visited(spark, csv_path, fmt="csv")
+    back = spark.read.option("header", "true").csv(csv_path)
+    got = sorted((r["url_norm"], int(r["depth"]), int(r["seq"]))
+                 for r in back.collect())
+    assert got == want
+
+    json_path = str(tmp_path / "out_json")
+    state.export_visited(spark, json_path, fmt="json")
+    jback = spark.read.json(json_path)
+    jgot = sorted((r["url_norm"], int(r["depth"]), int(r["seq"]))
+                  for r in jback.collect())
+    assert jgot == want
+    # ctx survives the JSON sink
+    assert all(dict(r["ctx"].asDict() if hasattr(r["ctx"], "asDict")
+                    else r["ctx"]) == {"job": "x"}
+               for r in jback.collect())
