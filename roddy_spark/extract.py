@@ -16,7 +16,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+from pyspark.sql.types import (ArrayType, IntegerType, MapType, StringType,
                                StructField, StructType)
 
 PARSED_SCHEMA = StructType([
@@ -244,3 +244,226 @@ def extract_links_fast(html: pd.Series):
                            "rel": pd.Series([], dtype="object"),
                            "pos": pd.Series([], dtype="int32")}))
     return base_href, links
+
+
+# ---------------------------------------------------------------------------
+# User-supplied CSS-selector extraction (SURVEY.md S4 generality; VERDICT r3
+# item 2) — the reference lets users register ARBITRARY selectors
+# (OnHTML("p.description"), roddy.go:497-531) and read the matched element's
+# text/attributes (ChildText/ChildAttr, element.go:77-88). The fixed
+# PARSED_SCHEMA covers the reference's own tests; this slot covers every
+# other selector a migrating colly/roddy user brings, without writing UDFs.
+#
+# Selector grammar (the subset those APIs actually exercise): comma groups,
+# descendant (space) and child (>) combinators, compounds of
+#   tag  .class  #id  [attr]  [attr=value] / [attr="value"]
+# Matching walks the open-element stack during the SAME single HTMLParser
+# pass as everything else — cost is O(open-captures) per character, not a
+# re-parse per selector. Rows come back in document order of the matched
+# element's start tag, with text = trimmed concatenation of all character
+# data inside the element (goquery .Text() + TrimSpace — element.go:77-79).
+# ---------------------------------------------------------------------------
+
+_SEL_PART_RE = _re.compile(
+    r"([a-zA-Z][\w-]*)"            # tag
+    r"|\.([\w-]+)"                 # .class
+    r"|#([\w-]+)"                  # #id
+    r"|\[([\w-]+)(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\]\"']*)))?\]")  # [a=v]
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr"
+    .split())
+
+
+def _compile_compound(s: str):
+    """'span.price[data-x=1]' → (tag, classes, id, [(attr, val|None)...])"""
+    tag, classes, id_, preds = None, [], None, []
+    pos = 0
+    while pos < len(s):
+        m = _SEL_PART_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"unsupported selector syntax at {s[pos:]!r}")
+        t, cls, i, attr, v1, v2, v3 = m.groups()
+        if t:
+            if pos != 0:
+                raise ValueError(f"tag must lead the compound: {s!r}")
+            tag = t.lower()
+        elif cls:
+            classes.append(cls)
+        elif i:
+            id_ = i
+        else:
+            had_eq = "=" in m.group(0)
+            val = v1 if v1 is not None else v2 if v2 is not None else v3
+            preds.append((attr.lower(), val if had_eq else None))
+        pos = m.end()
+    return tag, tuple(classes), id_, tuple(preds)
+
+
+def compile_selector(selector: str):
+    """CSS selector string → list of chains; each chain is a list of
+    (combinator, compound) with combinator ∈ {'desc', 'child'} naming how
+    the compound relates to the one BEFORE it (the first's is ignored)."""
+    chains = []
+    for group in selector.split(","):
+        group = group.strip()
+        if not group:
+            raise ValueError(f"empty selector group in {selector!r}")
+        toks = group.replace(">", " > ").split()
+        chain, comb = [], "desc"
+        for tok in toks:
+            if tok == ">":
+                if comb == "child" or not chain:
+                    raise ValueError(f"dangling '>' in {selector!r}")
+                comb = "child"
+                continue
+            chain.append((comb, _compile_compound(tok)))
+            comb = "desc"
+        if comb == "child" or not chain:
+            raise ValueError(f"dangling '>' in {selector!r}")
+        chains.append(chain)
+    return chains
+
+
+def _compound_matches(comp, tag: str, attrs: dict) -> bool:
+    ctag, classes, id_, preds = comp
+    if ctag is not None and tag != ctag:
+        return False
+    if id_ is not None and attrs.get("id") != id_:
+        return False
+    if classes:
+        have = (attrs.get("class") or "").split()
+        if any(c not in have for c in classes):
+            return False
+    for name, val in preds:
+        if name not in attrs:
+            return False
+        if val is not None and (attrs.get(name) or "") != val:
+            return False
+    return True
+
+
+def _chain_matches(chain, stack) -> bool:
+    """Right-to-left match of ``chain`` against the open-element ``stack``
+    (innermost last); the rightmost compound must match the top element."""
+    def rec(ci: int, si: int) -> bool:
+        if not _compound_matches(chain[ci][1], stack[si][0], stack[si][1]):
+            return False
+        if ci == 0:
+            return True
+        if chain[ci][0] == "child":
+            return si > 0 and rec(ci - 1, si - 1)
+        return any(rec(ci - 1, sj) for sj in range(si - 1, -1, -1))
+    return rec(len(chain) - 1, len(stack) - 1)
+
+
+class _SelectorExtractor(HTMLParser):
+    """One-pass multi-selector element capture over the open-element stack."""
+
+    def __init__(self, compiled: list) -> None:
+        super().__init__(convert_charrefs=True)
+        self.compiled = compiled          # [(selector_string, chains)]
+        self.stack: list = []             # [(tag, attrs)]
+        self.open: list = []              # captures awaiting their end tag
+        self.rows: list = []
+        self._pos = [0] * len(compiled)   # per-selector document-order rank
+
+    def _try_open(self, tag: str, attrs: dict, void: bool) -> None:
+        for k, (sel, chains) in enumerate(self.compiled):
+            if any(_chain_matches(ch, self.stack) for ch in chains):
+                cap = {"selector": sel, "pos": self._pos[k], "tag": tag,
+                       "parts": [], "attrs": dict(attrs),
+                       "depth": len(self.stack)}
+                self._pos[k] += 1
+                if void:
+                    self._finish(cap)
+                else:
+                    self.open.append(cap)
+
+    def _finish(self, cap: dict) -> None:
+        self.rows.append({
+            "selector": cap["selector"], "pos": cap["pos"],
+            "tag": cap["tag"], "text": "".join(cap["parts"]).strip(),
+            "attrs": cap["attrs"]})
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag in _VOID_TAGS:
+            self.stack.append((tag, a))
+            self._try_open(tag, a, void=True)
+            self.stack.pop()
+            return
+        self.stack.append((tag, a))
+        self._try_open(tag, a, void=False)
+
+    def handle_startendtag(self, tag, attrs):  # <x/> never nests
+        a = dict(attrs)
+        self.stack.append((tag, a))
+        self._try_open(tag, a, void=True)
+        self.stack.pop()
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        # lenient recovery: close down to the nearest matching open tag
+        for si in range(len(self.stack) - 1, -1, -1):
+            if self.stack[si][0] == tag:
+                while len(self.stack) > si:
+                    depth = len(self.stack)  # captures store post-push size
+                    for ci in range(len(self.open) - 1, -1, -1):
+                        if self.open[ci]["depth"] == depth:
+                            self._finish(self.open.pop(ci))
+                    self.stack.pop()
+                break
+
+    def handle_data(self, data):
+        for cap in self.open:
+            cap["parts"].append(data)
+
+    def close(self):
+        super().close()
+        while self.open:                  # unclosed elements at EOF
+            self._finish(self.open.pop())
+
+
+SELECTED_SCHEMA = ArrayType(StructType([
+    StructField("selector", StringType()),
+    StructField("pos", IntegerType()),
+    StructField("tag", StringType()),
+    StructField("text", StringType()),
+    StructField("attrs", MapType(StringType(), StringType())),
+]))
+
+
+def select_html(html: str | None, compiled: list) -> list[dict]:
+    if not html:
+        return []
+    p = _SelectorExtractor(compiled)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    return sorted(p.rows, key=lambda r: (r["selector"], r["pos"]))
+
+
+def select_css(df, selectors, html_col: str = "body_html",
+               keep: tuple = ("url_norm", "depth", "seq")):
+    """One row per (page, selector, matched element): the engine's slot for
+    the reference's user-registered OnHTML(selector) callbacks. ``text`` is
+    the element's trimmed inner text (ChildText); ``attrs`` carries every
+    attribute of the matched element (ChildAttr reads one key from it).
+
+    Selectors are compiled ONCE driver-side and shipped in the UDF closure;
+    matching rides the Arrow-batched parse pass — page bodies cross into
+    Python once and are never shuffled, exactly like ``expand``."""
+    compiled = [(s, compile_selector(s)) for s in selectors]
+
+    @F.pandas_udf(SELECTED_SCHEMA)
+    def sel_udf(html: pd.Series) -> pd.Series:
+        return pd.Series([select_html(h, compiled) for h in html])
+
+    keep = [c for c in keep if c in df.columns]
+    return (df.withColumn("__el", F.explode(sel_udf(F.col(html_col))))
+            .select(*keep, "__el.selector", "__el.pos", "__el.tag",
+                    "__el.text", "__el.attrs"))

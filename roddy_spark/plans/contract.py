@@ -693,6 +693,121 @@ FROM admitted
 QUALIFY rn <= 10
 """
 
+# orderkey bound shared by the relational shop web (crawl_*_order) and the
+# relational-HTML selector/extraction queries below
+_SHOP_MAX_OKEY = 120
+
+
+def q_css_select(spark, sf_dir):
+    """S4 generality (VERDICT r3 item 2): user-registered CSS selectors
+    (reference OnHTML("p.description") roddy.go:497-531; ChildText/
+    ChildAttr element.go:77-88) over relationally-defined HTML, so DuckDB
+    re-derives the expected element rows exactly. One page per order; each
+    lineitem renders a ``<span class="price" data-line=N>partkey</span>``
+    inside ``<div class="items">``; a stray span.price OUTSIDE the div pins
+    the child combinator. Output: (url_norm, pos, text, line)."""
+    from roddy_spark.extract import select_css
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SHOP_MAX_OKEY)
+          .select("l_orderkey", "l_linenumber", "l_partkey"))
+    span = F.concat(F.lit('<span class="price" data-line="'),
+                    F.col("l_linenumber").cast("string"), F.lit('">'),
+                    F.col("l_partkey").cast("string"), F.lit("</span>"))
+    pages = (li.groupBy("l_orderkey")
+             .agg(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("l_linenumber").alias("k"),
+                     F.col("l_partkey").alias("k2"), span.alias("a")))),
+                 lambda s: s["a"])).alias("spans"))
+             .select(F.concat(F.lit("http://shop.test/o/"),
+                              F.col("l_orderkey").cast("string"))
+                     .alias("url_norm"),
+                     F.concat(F.lit('<html><body><div class="items">'),
+                              F.col("spans"),
+                              F.lit('</div><span class="price">stray'
+                                    '</span></body></html>'))
+                     .alias("body_html")))
+    rows = select_css(pages, ["div.items > span.price"],
+                      keep=("url_norm",))
+    return rows.select("url_norm", "pos", "text",
+                       F.col("attrs")["data-line"].alias("line"))
+
+
+SQL_CSS_SELECT = f"""
+SELECT 'http://shop.test/o/' || CAST(l_orderkey AS VARCHAR) AS url_norm,
+       CAST(row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) - 1
+            AS INT) AS pos,
+       CAST(l_partkey AS VARCHAR) AS text,
+       CAST(l_linenumber AS VARCHAR) AS line
+FROM lineitem WHERE l_orderkey < {_SHOP_MAX_OKEY}
+"""
+
+
+def q_image_decode_meta(spark, sf_dir):
+    """Oracled METADATA half of the binary-decode family (VERDICT r3 item
+    7): image dims are a SQL-expressible function of doc_id (w = 16 +
+    doc_id % 49, h = 16 + 7*doc_id % 49), pixels a deterministic gradient;
+    each row encodes (png even / lossy odd), decodes, and reports the
+    DECODED geometry plus the per-row invariant flags. The DuckDB twin
+    re-derives the expected decoded dims INDEPENDENTLY from doc_id — a
+    decoder that misreports geometry or corrupts pixels past the phash
+    tolerance hash-mismatches. Pixel exactness (PSNR vs generator) stays
+    rows-only in image_decode_validate; the banding math's oracled twin is
+    phash_banding."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 48).select("doc_id"))
+
+    def gen(batches):
+        from roddy_spark.sources import codecs
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].to_list():
+                i = int(i)
+                w, h = 16 + i % 49, 16 + (i * 7) % 49
+                yy, xx = np.mgrid[0:h, 0:w]
+                # blue = seeded noise (pure function of doc_id), as in the
+                # corpus generator: an all-smooth gradient leaves every
+                # phash DCT bit borderline and lossy re-encode flips ~20
+                rng = np.random.default_rng(np.uint64(i))
+                px = np.stack(
+                    [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                     (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                     rng.integers(0, 256, size=(h, w), dtype=np.uint8)],
+                    axis=-1)
+                data = (codecs.encode_png(px) if i % 2 == 0
+                        else codecs.encode_lossy(px))
+                dec = codecs.decode_image(data)
+                out.append({
+                    "image_id": f"img{i}",
+                    "fmt": "png" if i % 2 == 0 else "jpeg",
+                    "decoded_w": int(dec.shape[1]),
+                    "decoded_h": int(dec.shape[0]),
+                    "dims_ok": dec.shape[1] == w and dec.shape[0] == h,
+                    "phash_ok": codecs.hamming64(
+                        codecs.phash64(dec), codecs.phash64(px)) <= 4})
+            yield pd.DataFrame(out, columns=[
+                "image_id", "fmt", "decoded_w", "decoded_h", "dims_ok",
+                "phash_ok"])
+
+    return docs.mapInPandas(
+        gen, "image_id string, fmt string, decoded_w int, decoded_h int, "
+             "dims_ok boolean, phash_ok boolean")
+
+
+SQL_IMAGE_DECODE_META = """
+SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(16 + doc_id % 49 AS INTEGER) AS decoded_w,
+       CAST(16 + (doc_id * 7) % 49 AS INTEGER) AS decoded_h,
+       true AS dims_ok, true AS phash_ok
+FROM documents WHERE doc_id < 48
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks): image payload + full BFS crawl
 # ---------------------------------------------------------------------------
@@ -773,29 +888,21 @@ def q_frontier_stream_ingest(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def q_crawl_dfs(spark, sf_dir):
-    """The reference's SYNC-mode (DFS) visit order on a seeded synthetic
-    web, computed as the lexicographic-path fixpoint (plans/dfs.py);
-    equality with the literal recursive-DFS oracle is pinned in
-    tests/test_dfs.py. Rows-only (iterative multi-job fixpoint)."""
-    from roddy_spark.config import CrawlConfig
-    from roddy_spark.plans.dfs import dfs_preorder
-    from roddy_spark.sources.synthweb import WebConfig, synthweb_df
-    pages = synthweb_df(spark, WebConfig(n_hosts=2, n_pages=60,
-                                         n_corpus=20), partitions=2)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return dfs_preorder(spark, pages, ["http://h0.test/"],
-                            CrawlConfig(max_depth=3)).orderBy("seq")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-
 def q_crawl_bfs(spark, sf_dir):
     """The full iterative BFS crawl on a seeded synthetic web — equivalence
     vs the reference-semantics oracle is pinned by tests/test_crawl_e2e.py;
-    here the driver records the deterministic (url, depth, seq) output."""
+    here the driver records the deterministic (url, depth, seq) output.
+
+    Rows-only BY DESIGN, and kept alongside the hash-oracled
+    ``crawl_bfs_order`` twin because it exercises paths the relational twin
+    cannot: the per-host politeness budget (per_host_budget=8 → the
+    pending-table defer/merge cycle runs every batch) and the generator's
+    messy synthetic-HTML bodies through the fast-path/fallback extractor.
+    The former ``crawl_dfs`` rows-only entry was RETIRED (VERDICT r3 item
+    8): ``crawl_dfs_order`` drives the identical dfs_preorder loop +
+    HTML-anchor extraction with a recursive-CTE hash oracle, and DFS has no
+    budget/politeness surface, so the synthetic-web variant added no
+    uncovered path (tests/test_dfs.py still runs the generator web)."""
     import tempfile
 
     from roddy_spark.config import CrawlConfig
@@ -843,9 +950,6 @@ def q_crawl_bfs(spark, sf_dir):
 # The engine side runs the REAL loops (Crawler / dfs_preorder) including
 # HTML anchor extraction of the generated bodies.
 # ---------------------------------------------------------------------------
-
-_SHOP_MAX_OKEY = 120
-
 
 def _shop_pages(spark, sf_dir):
     """Deterministic relational 3-level web over orders/lineitem:
@@ -1021,9 +1125,10 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "frontier_stream_ingest": q_frontier_stream_ingest,
     "crawl_bfs": q_crawl_bfs,
-    "crawl_dfs": q_crawl_dfs,
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_dfs_order": q_crawl_dfs_order,
+    "css_select": q_css_select,
+    "image_decode_meta": q_image_decode_meta,
 }
 
 ORACLES = {
@@ -1059,8 +1164,15 @@ ORACLES = {
     # CTEs (path-vector replay of the ordering contract):
     "crawl_bfs_order": SQL_CRAWL_BFS_ORDER,
     "crawl_dfs_order": SQL_CRAWL_DFS_ORDER,
-    # image_decode_validate / phash_neardup: rows-only (binary decode is
-    # not SQL-expressible). crawl_bfs / crawl_dfs run on the synthetic
-    # HTML web (generator-defined links — no SQL twin); their ordering
-    # contract is hash-checked via crawl_{bfs,dfs}_order instead.
+    "css_select": SQL_CSS_SELECT,
+    "image_decode_meta": SQL_IMAGE_DECODE_META,
+    # Rows-only remainder, each justified: image_decode_validate /
+    # phash_neardup / audio_features / video_frame_sample decode binary
+    # payloads DuckDB has no codec for (their SQL-expressible halves are
+    # oracled via image_decode_meta and phash_banding);
+    # frontier_stream_ingest is a stateful streaming job
+    # (batch-equivalence-tested); crawl_bfs runs on the generator HTML web
+    # (no SQL twin for generated links) and uniquely exercises the
+    # politeness/pending path — its ordering contract is hash-checked via
+    # crawl_bfs_order.
 }

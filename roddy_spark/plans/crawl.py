@@ -303,6 +303,11 @@ class CrawlState:
         """on_scraped hook output across batches (roddy's OnScraped)."""
         return self.store.read(spark, "scraped")
 
+    def selected(self, spark: SparkSession) -> DataFrame | None:
+        """User-selector element rows across batches (the OnHTML(selector)
+        output table; one row per matched element — extract.select_css)."""
+        return self.store.read(spark, "selected")
+
     def order(self, spark: SparkSession) -> list[str]:
         return [r["url_norm"] for r in
                 self.visited(spark).orderBy("seq").collect()]
@@ -414,7 +419,8 @@ class Crawler:
                  max_batches: int = 200, on_request=None,
                  on_response=None, on_error=None, on_scraped=None,
                  cookies: dict | None = None,
-                 write_metrics: bool = True):
+                 write_metrics: bool = True,
+                 selectors: list[str] | None = None):
         self.spark = spark
         self.config = config
         self.pages = pages
@@ -445,6 +451,13 @@ class Crawler:
         self.on_error = on_error
         self.on_scraped = on_scraped
         self.write_metrics = write_metrics
+        # S4 generality (VERDICT r3 item 2): user-registered CSS selectors —
+        # the migration slot for arbitrary OnHTML(selector) callbacks
+        # (roddy.go:497-531; ChildText/ChildAttr element.go:77-88). Each
+        # batch's successful HTML pages yield one row per matched element
+        # (selector, pos, tag, text, attrs) into the durable ``selected``
+        # table; matching rides the same Arrow parse pass as extraction.
+        self.selectors = list(selectors or [])
         # K3 cookie-jar lifecycle (storage/storage.go:47-131): host → cookie
         # string. READ side: passed to cookie-aware fetchers (broadcast).
         # WRITE-BACK: responses carrying a ``set_cookie`` column update the
@@ -512,7 +525,17 @@ class Crawler:
                                      for r in jar.collect()})
             n_cand = candidates.count() if candidates is not None else 0
             n_pending = pending.count() if pending is not None else 0
-            pending_bytes = None if n_pending else 0  # unknown after resume
+            # re-derive pending BYTES with one cheap aggregate over the
+            # read-back pending table (same expression the write-time
+            # Observation uses): the earlier 64 B/row floor under-estimated
+            # fat-ctx pending tables — the exact case the byte-gated
+            # broadcast exists for — letting the first post-resume batch
+            # broadcast a frontier the gate should route to SMJ (ADVICE r3)
+            pending_bytes = 0
+            if n_pending:
+                pending_bytes = int(pending.select(
+                    _row_bytes_agg(pending).alias("b")).first()["b"] or 0
+                    ) + 32 * n_pending
             bloom = (self._build_bloom(visited)
                      if self._bloom_active(admitted_count) else None)
         else:
@@ -619,11 +642,9 @@ class Crawler:
             if "frontier_bytes" in fparams:
                 # write-time byte observation gates the broadcast by SIZE,
                 # not just row count — fat-ctx frontiers take the SMJ path
-                # (VERDICT r2 item 6). Unknown pending bytes (resume) →
-                # None only for that component, counted as 64B/row floor.
-                fkw["frontier_bytes"] = adm_bytes + (
-                    pending_bytes if pending_bytes is not None
-                    else 64 * n_pending)
+                # (VERDICT r2 item 6); after resume the pending component
+                # is re-aggregated from the store, so it is always exact.
+                fkw["frontier_bytes"] = adm_bytes + pending_bytes
             if "cookies" in fparams:
                 # cookie-aware fetcher gets the CURRENT jar snapshot
                 fkw["cookies"] = dict(self.cookies)
@@ -693,6 +714,18 @@ class Crawler:
                         list(self.cookies.items()),
                         "host string, cookie string"), "cookies", batch)
 
+            # 3b3. user-selector element rows (S4 generality): reads the
+            # persisted fetches snapshot — nothing is refetched/reparsed
+            # upstream, and bodies stay inside one Arrow pass
+            if self.selectors:
+                from roddy_spark.extract import select_css
+                store.write(select_css(
+                    fetched.filter(F.col("success")
+                                   & (F.col("content_type") == "text/html")),
+                    self.selectors,
+                    keep=("url_norm", "depth", "seq", "batch")),
+                    "selected", batch)
+
             # 3c. OnError slot (roddy.go:332-345): failed fetches → the
             # durable errors table; reads the already-persisted fetches
             # snapshot, so nothing is recomputed
@@ -751,12 +784,24 @@ class Crawler:
         """Invoke the hook in ``slot`` honoring detach semantics: a DETACH
         return (or a once()-wrapped hook after firing) clears the slot.
         Returns the hook's result, or None when the hook returned DETACH
-        (the caller treats the batch as if the hook were absent)."""
+        (the caller treats the batch as if the hook were absent).
+
+        A plain ``None`` return is an ERROR, not a no-op: only the DETACH
+        sentinel means "proceed as if absent". Silently ignoring None would
+        mask the classic bug of a user hook falling through without a
+        return statement (ADVICE r3) — a filter hook that "worked" while
+        filtering nothing."""
         hook = getattr(self, slot)
         out = hook(df)
         if out is DETACH:
             setattr(self, slot, None)
             return None
+        if out is None:
+            raise TypeError(
+                f"{slot} hook returned None — hooks must return a "
+                "DataFrame (or the DETACH sentinel to unregister); a "
+                "missing return statement would otherwise be silently "
+                "treated as 'keep everything'")
         if getattr(hook, "_rs_detach", False):
             setattr(self, slot, None)
         return out

@@ -254,3 +254,19 @@ def test_hook_detach_return_mid_crawl(spark, web, tmp_path):
                        CrawlConfig(max_depth=3))
     got = {r["url_norm"] for r in state.visited(spark).collect()}
     assert got == exp.visited_urls
+
+
+def test_hook_returning_none_raises(spark, web, tmp_path):
+    """A hook that falls through without a return (None) must fail LOUDLY
+    — only the DETACH sentinel means 'proceed as if absent'. Silently
+    treating None as 'keep everything' would mask the missing-return bug
+    in a user filter hook (ADVICE r3)."""
+    _pages_dict, pages_df = web
+
+    def broken_hook(df):
+        df.filter(F.col("depth") > 1)  # oops: no return
+
+    with pytest.raises(TypeError, match="on_request hook returned None"):
+        Crawler(spark, CrawlConfig(max_depth=2), pages_df,
+                str(tmp_path / "none_hook"),
+                on_request=broken_hook).run(["http://h0.test/"])

@@ -1,0 +1,105 @@
+"""User-registered CSS-selector extraction (SURVEY.md S4 generality;
+reference OnHTML(selector) roddy.go:497-531, ChildText/ChildAttr
+element.go:77-88): the migration slot for arbitrary colly/roddy selector
+callbacks the fixed PARSED_SCHEMA doesn't cover."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from roddy_spark.config import CrawlConfig
+from roddy_spark.extract import compile_selector, parse_html, select_html
+from roddy_spark.plans.crawl import Crawler
+
+_DOC = """<html><head><title>Shop</title></head><body>
+<div class="card"><span class="price" data-sku="a1">19.99</span></div>
+<div class="card"><span class="price" data-sku="b2"> 5.00 </span></div>
+<span class="price">stray</span>
+<p class="description">First paragraph</p>
+<p class="description">Second <b>bold</b> paragraph</p>
+<p>plain</p>
+<div id="nav"><a href="/x">go <i>now</i></a><img src="/i.png" alt="pic"></div>
+</body></html>"""
+
+
+def _rows(selector, html=_DOC):
+    return select_html(html, [(selector, compile_selector(selector))])
+
+
+# -- selector engine unit semantics ------------------------------------------
+
+def test_child_combinator_excludes_non_children():
+    got = _rows("div.card > span.price")
+    assert [(r["pos"], r["text"], r["attrs"]["data-sku"]) for r in got] == [
+        (0, "19.99", "a1"), (1, "5.00", "b2")]
+
+
+def test_descendant_id_attr_and_void_elements():
+    assert [r["text"] for r in _rows("#nav a")] == ["go now"]
+    assert [r["attrs"]["alt"] for r in _rows("img[alt]")] == ["pic"]
+    assert [r["attrs"]["data-sku"] for r in _rows('span[data-sku="b2"]')] \
+        == ["b2"]
+    assert _rows('span[data-sku="zz"]') == []
+
+
+def test_comma_group_and_bare_tag():
+    got = _rows("title, p.description")
+    assert len(got) == 3  # 1 title + 2 descriptions
+    assert sorted(r["tag"] for r in got) == ["p", "p", "title"]
+
+
+def test_text_is_trimmed_nested_text():
+    # ChildText semantics (element.go:77-79): goquery .Text() + TrimSpace —
+    # nested element text folds in, surrounding whitespace stripped
+    got = _rows("p.description")
+    assert [r["text"] for r in got] == ["First paragraph",
+                                       "Second bold paragraph"]
+
+
+def test_p_description_parity_with_fixed_schema():
+    """The generic selector path must agree with the hardwired
+    descriptions extraction (roddy_test.go:140-168 selector: count=2)."""
+    fixed = parse_html(_DOC)["descriptions"]
+    generic = [r["text"] for r in _rows("p.description")]
+    assert len(generic) == len(fixed) == 2
+    assert generic == [d.strip() for d in fixed]
+
+
+def test_unsupported_selector_raises():
+    for bad in ("p:nth-child(2)", "a ~ b", "", "div >"):
+        with pytest.raises(ValueError):
+            compile_selector(bad)
+
+
+# -- engine slot: one Arrow pass, exploded element rows ----------------------
+
+def test_crawler_selected_table(spark, tmp_path):
+    """A crawl registered with a custom selector the fixed schema has no
+    column for (span.price with data-sku) lands one durable row per matched
+    element, keyed like every other per-batch table."""
+    pages = spark.createDataFrame(
+        [("http://h0.test/", 200, "text/html",
+          _DOC + '<a href="/next">n</a>'),
+         ("http://h0.test/next", 200, "text/html",
+          '<div class="card"><span class="price" data-sku="c3">7</span>'
+          "</div>")],
+        "url string, status int, content_type string, body_html string")
+    st = Crawler(spark, CrawlConfig(max_depth=2), pages,
+                 str(tmp_path / "sel"),
+                 selectors=["div.card > span.price", "p.description"]
+                 ).run(["http://h0.test/"])
+    sel = st.selected(spark)
+    got = sorted((r["selector"], r["url_norm"], r["pos"], r["text"],
+                  (r["attrs"] or {}).get("data-sku"))
+                 for r in sel.collect())
+    assert got == [
+        ("div.card > span.price", "http://h0.test/", 0, "19.99", "a1"),
+        ("div.card > span.price", "http://h0.test/", 1, "5.00", "b2"),
+        ("div.card > span.price", "http://h0.test/next", 0, "7", "c3"),
+        ("p.description", "http://h0.test/", 0, "First paragraph", None),
+        ("p.description", "http://h0.test/", 1, "Second bold paragraph",
+         None),
+    ]
+    # rows carry the crawl keys (joinable back to visited/fetches)
+    assert {"url_norm", "depth", "seq", "batch"} <= set(sel.columns)
