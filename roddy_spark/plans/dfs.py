@@ -112,10 +112,39 @@ def _extract_edges(fetched: DataFrame) -> DataFrame:
     return src.mapInPandas(gen, _EDGE_SCHEMA)
 
 
+class _Scratch:
+    """Rolling parquet scratch for the fixpoint's iteration state — the
+    same plan-truncation device the BFS loop gets from its SnapshotStore
+    (write + re-read every round), applied to DFS (VERDICT r3 item 6):
+    ``localCheckpoint`` pins blocks in executor STORAGE MEMORY and the
+    pinned lineage grew with round count on deep webs. Here each named
+    frame keeps exactly ONE on-disk version; rolling a new version deletes
+    the superseded one (safe: the write action that produced the new
+    version was the last reader of the old), so disk is bounded by the
+    live state size and executor storage stays flat at any round count."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark, self.root, self.n = spark, root, 0
+        self.live: dict[str, str] = {}
+
+    def roll(self, df: DataFrame, name: str) -> DataFrame:
+        import os
+        self.n += 1
+        path = os.path.join(self.root, f"{name}_{self.n}")
+        df.write.mode("overwrite").parquet(path)
+        prev = self.live.get(name)
+        if prev:
+            import shutil
+            shutil.rmtree(prev, ignore_errors=True)
+        self.live[name] = path
+        return self.spark.read.parquet(path)
+
+
 def dfs_preorder(spark: SparkSession, pages: DataFrame, seeds: list[str],
                  config: CrawlConfig, robots_map: dict | None = None,
                  fetcher=fetch_join, max_iters: int = 200,
-                 stats: dict | None = None) -> DataFrame:
+                 stats: dict | None = None,
+                 scratch_dir: str | None = None) -> DataFrame:
     """The reference's sync-DFS visit order: (url_norm, depth, seq) with
     seq = DFS preorder rank.
 
@@ -146,80 +175,95 @@ def dfs_preorder(spark: SparkSession, pages: DataFrame, seeds: list[str],
     dependency chain (≲ longest admissible path).
 
     ``stats`` (optional dict) receives {"rounds", "delta_rows"} (changed
-    URLs per round) for instrumentation/tests."""
-    seed_rows = [(u, [i]) for i, u in enumerate(seeds)]
-    seeds_df = (spark.createDataFrame(seed_rows, ["raw_url", "path"])
-                .withColumn("url_norm", U.canonicalize("raw_url"))
-                .filter(F.col("url_norm").isNotNull())
-                .select("url_norm", F.col("path").cast("array<int>")
-                        .alias("path")))
-    seeds_df = _admissible(seeds_df, config, robots_map) \
-        .localCheckpoint(eager=True)
-    paths = seeds_df               # current estimate P (url_norm, path)
-    changed = seeds_df.select("url_norm")  # estimates that changed last round
-    edges: DataFrame | None = None  # (url_norm parent, pos, child)
-    fetched_urls: DataFrame | None = None
-    if stats is not None:
-        stats["rounds"] = 0
-        stats["delta_rows"] = [changed.count()]
-    for _ in range(max_iters):
+    URLs per round) for instrumentation/tests.
+
+    Iteration state (paths/changed/edges/fetched_urls) rolls through an
+    on-disk parquet scratch, one live version per frame (``_Scratch``) —
+    bounded disk, flat executor storage memory at any round count."""
+    import shutil
+    import tempfile
+
+    root = scratch_dir or tempfile.mkdtemp(prefix="roddy_dfs_")
+    sc = _Scratch(spark, root)
+    try:
+        seed_rows = [(u, [i]) for i, u in enumerate(seeds)]
+        seeds_df = (spark.createDataFrame(seed_rows, ["raw_url", "path"])
+                    .withColumn("url_norm", U.canonicalize("raw_url"))
+                    .filter(F.col("url_norm").isNotNull())
+                    .select("url_norm", F.col("path").cast("array<int>")
+                            .alias("path")))
+        seeds_df = sc.roll(_admissible(seeds_df, config, robots_map),
+                           "seeds")
+        paths = seeds_df           # current estimate P (url_norm, path)
+        changed = seeds_df.select("url_norm")  # changed last round
+        edges: DataFrame | None = None  # (url_norm parent, pos, child)
+        fetched_urls: DataFrame | None = None
         if stats is not None:
-            stats["rounds"] += 1
-        # fetch + extract edges for changed nodes present in the estimate
-        # table and not yet fetched (each url once)
-        to_fetch = changed.join(paths, "url_norm", "left_semi")
-        if fetched_urls is not None:
-            to_fetch = to_fetch.join(fetched_urls, "url_norm", "left_anti")
-        if not to_fetch.isEmpty():
-            new_edges = (_extract_edges(fetcher(to_fetch, pages))
-                         .localCheckpoint(eager=True))
-            edges = (new_edges if edges is None else
-                     edges.unionByName(new_edges)
-                     .localCheckpoint(eager=True))
-            fetched_urls = (to_fetch if fetched_urls is None else
-                            fetched_urls.unionByName(to_fetch)
-                            ).localCheckpoint(eager=True)
-        if edges is None:
-            break
-        # affected = nodes with an in-edge from a changed node; recompute
-        # each from ALL its in-edges over the CURRENT estimates (exact
-        # operator, restricted — handles retraction)
-        aff = (edges.join(changed, "url_norm", "left_semi")
-               .select(F.col("child").alias("url_norm")).distinct()
-               .localCheckpoint(eager=True))
-        in_edges = edges.join(aff.withColumnRenamed("url_norm", "child"),
-                              "child", "left_semi")
-        ext = (in_edges.join(paths.select("url_norm",
-                                          F.col("path").alias("ppath")),
-                             "url_norm")
-               .select(F.col("child").alias("url_norm"),
-                       F.concat(F.col("ppath"),
-                                F.array(F.col("pos"))).alias("path")))
-        ext = _admissible(ext, config, robots_map)
-        cand = ext.unionByName(seeds_df.join(aff, "url_norm", "left_semi"))
-        new_est = (cand.groupBy("url_norm").agg(F.min("path").alias("path"))
-                   .localCheckpoint(eager=True))
-        old_aff = paths.join(aff, "url_norm", "left_semi")
-        changed = (new_est.join(old_aff, ["url_norm", "path"], "left_anti")
-                   .unionByName(old_aff.join(new_est, ["url_norm", "path"],
-                                             "left_anti"))
-                   .select("url_norm").distinct()
-                   .localCheckpoint(eager=True))
-        paths = (paths.join(aff, "url_norm", "left_anti")
-                 .unionByName(new_est).localCheckpoint(eager=True))
-        if stats is not None:
-            n_changed = changed.count()
-            stats["delta_rows"].append(n_changed)
-            if n_changed == 0:
+            stats["rounds"] = 0
+            stats["delta_rows"] = [changed.count()]
+        for _ in range(max_iters):
+            if stats is not None:
+                stats["rounds"] += 1
+            # fetch + extract edges for changed nodes present in the
+            # estimate table and not yet fetched (each url once)
+            to_fetch = changed.join(paths, "url_norm", "left_semi")
+            if fetched_urls is not None:
+                to_fetch = to_fetch.join(fetched_urls, "url_norm",
+                                         "left_anti")
+            if not to_fetch.isEmpty():
+                new_edges = _extract_edges(fetcher(to_fetch, pages))
+                edges = sc.roll(new_edges if edges is None else
+                                edges.unionByName(new_edges), "edges")
+                fetched_urls = sc.roll(
+                    to_fetch if fetched_urls is None else
+                    fetched_urls.unionByName(to_fetch), "fetched")
+            if edges is None:
                 break
-        elif changed.isEmpty():
-            break
-    # preorder rank: lexicographic path order (shorter prefix first — Spark
-    # array ordering — which is exactly parent-before-child)
-    from roddy_spark.operators.rank import (ordered_seq,
-                                            release_rank_caches)
-    out = (ordered_seq(paths, ["path"], "seq")
-           .select("url_norm", F.size("path").alias("depth"), "seq"))
-    out = out.localCheckpoint(eager=True)
-    release_rank_caches()
-    return out
+            # affected = nodes with an in-edge from a changed node;
+            # recompute each from ALL its in-edges over the CURRENT
+            # estimates (exact operator, restricted — handles retraction)
+            aff = sc.roll(edges.join(changed, "url_norm", "left_semi")
+                          .select(F.col("child").alias("url_norm"))
+                          .distinct(), "aff")
+            in_edges = edges.join(aff.withColumnRenamed("url_norm", "child"),
+                                  "child", "left_semi")
+            ext = (in_edges.join(paths.select("url_norm",
+                                              F.col("path").alias("ppath")),
+                                 "url_norm")
+                   .select(F.col("child").alias("url_norm"),
+                           F.concat(F.col("ppath"),
+                                    F.array(F.col("pos"))).alias("path")))
+            ext = _admissible(ext, config, robots_map)
+            cand = ext.unionByName(seeds_df.join(aff, "url_norm",
+                                                 "left_semi"))
+            new_est = sc.roll(cand.groupBy("url_norm")
+                              .agg(F.min("path").alias("path")), "est")
+            old_aff = paths.join(aff, "url_norm", "left_semi")
+            changed = sc.roll(
+                new_est.join(old_aff, ["url_norm", "path"], "left_anti")
+                .unionByName(old_aff.join(new_est, ["url_norm", "path"],
+                                          "left_anti"))
+                .select("url_norm").distinct(), "changed")
+            paths = sc.roll(paths.join(aff, "url_norm", "left_anti")
+                            .unionByName(new_est), "paths")
+            if stats is not None:
+                n_changed = changed.count()
+                stats["delta_rows"].append(n_changed)
+                if n_changed == 0:
+                    break
+            elif changed.isEmpty():
+                break
+        # preorder rank: lexicographic path order (shorter prefix first —
+        # Spark array ordering — which is exactly parent-before-child)
+        from roddy_spark.operators.rank import (ordered_seq,
+                                                release_rank_caches)
+        out = (ordered_seq(paths, ["path"], "seq")
+               .select("url_norm", F.size("path").alias("depth"), "seq"))
+        # the ONE checkpoint left: detach the result from the scratch files
+        # deleted below (bounded — it is the final output, not round state)
+        out = out.localCheckpoint(eager=True)
+        release_rank_caches()
+        return out
+    finally:
+        if scratch_dir is None:
+            shutil.rmtree(root, ignore_errors=True)

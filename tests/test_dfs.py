@@ -90,3 +90,22 @@ def test_dfs_semi_naive_delta_shrinks(spark, web):
     # few multiples of the node count (each node settles after O(1)
     # recomputations on this web), not rounds × n_nodes
     assert sum(deltas) < 6 * n_nodes, (deltas, n_nodes)
+
+
+def test_dfs_storage_memory_flat_across_rounds(spark, web):
+    """Round state rolls through the on-disk scratch (one live parquet
+    version per frame), so executor STORAGE memory does not accumulate
+    pinned localCheckpoint blocks with round count (VERDICT r3 item 6):
+    after a deep multi-round run, at most the single final-output
+    checkpoint is newly cached — never one block set per round."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    stats = {}
+    out = dfs_preorder(spark, web[1], ["http://h0.test/", "http://h2.test/"],
+                       CrawlConfig(max_depth=4), stats=stats)
+    out.count()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert stats["rounds"] >= 3
+    # only the final-output checkpoint (+ the module fixture's persisted
+    # web) may be cached — round state must leave nothing behind
+    assert after - before <= 1, (before, after, stats["rounds"])
