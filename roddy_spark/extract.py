@@ -51,6 +51,11 @@ class _Extractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        # implied </p>: a block-level (or sibling p) start tag closes an
+        # open p.description capture, as net/html would (ADVICE r4) — the
+        # set lives beside the selector engine (_P_CLOSERS below)
+        if self._desc_depth and tag in _P_CLOSERS:
+            self._desc_depth = 0
         if tag == "title":
             self._in_title = True
             self.title = self.title or ""
@@ -254,9 +259,17 @@ def extract_links_fast(html: pd.Series):
 # PARSED_SCHEMA covers the reference's own tests; this slot covers every
 # other selector a migrating colly/roddy user brings, without writing UDFs.
 #
-# Selector grammar (the subset those APIs actually exercise): comma groups,
-# descendant (space) and child (>) combinators, compounds of
-#   tag  .class  #id  [attr]  [attr=value] / [attr="value"]
+# Selector grammar (the subset those APIs actually exercise, extended with
+# the goquery forms most common in real colly migrations — VERDICT r4
+# item 7): comma groups, descendant (space) and child (>) combinators,
+# compounds of
+#   tag  .class  #id  [attr]  [attr=v] [attr^=v] [attr$=v] [attr*=v]
+#   [attr~=v] [attr|=v]  (v bare or quoted; quoted values may contain
+#   space/','/'>')  :first-child  :nth-child(n)  :first-of-type
+#   :nth-of-type(n)
+# Start tags apply the HTML5 implied-end-tag rules (optional end tags:
+# p/li/dt/dd/tr/td/th/option/...), matching net/html's tree for the
+# real-world HTML that omits them (ADVICE r4).
 # Matching walks the open-element stack during the SAME single HTMLParser
 # pass as everything else — cost is O(open-captures) per character, not a
 # re-parse per selector. Rows come back in document order of the matched
@@ -268,22 +281,64 @@ _SEL_PART_RE = _re.compile(
     r"([a-zA-Z][\w-]*)"            # tag
     r"|\.([\w-]+)"                 # .class
     r"|#([\w-]+)"                  # #id
-    r"|\[([\w-]+)(?:=(?:\"([^\"]*)\"|'([^']*)'|([^\]\"']*)))?\]")  # [a=v]
+    r"|\[([\w-]+)(?:([~^$*|]?=)(?:\"([^\"]*)\"|'([^']*)'|([^\]\"']*)))?\]"
+    # [attr], [attr=v], and the goquery-common substring forms
+    # [attr^=v] [attr$=v] [attr*=v] [attr~=v] [attr|=v] (VERDICT r4 item 7)
+    r"|:([\w-]+)(?:\((\d+)\))?")   # :first-child / :nth-of-type(n) / ...
 
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr"
     .split())
 
+# HTML5 implied-end-tag rules (ADVICE r4): real-world HTML omits optional
+# end tags ('<p>one<p>two', '<ul><li>a<li>b'), and net/html — what goquery
+# and therefore the reference's selectors see — auto-closes the open
+# sibling before pushing the new start tag. Without this the selector
+# stack nests siblings as children and ChildText / child-combinator
+# results diverge. Each entry: incoming start tag → (tags it implicitly
+# closes, scope-boundary tags that stop the downward scan).
+_IMPLIED_SIBLINGS = {
+    "li": (frozenset({"li"}), frozenset({"ul", "ol"})),
+    "dt": (frozenset({"dt", "dd"}), frozenset({"dl"})),
+    "dd": (frozenset({"dt", "dd"}), frozenset({"dl"})),
+    "tr": (frozenset({"tr", "td", "th"}), frozenset({"table"})),
+    "td": (frozenset({"td", "th"}), frozenset({"table", "tr"})),
+    "th": (frozenset({"td", "th"}), frozenset({"table", "tr"})),
+    "option": (frozenset({"option"}), frozenset({"select", "datalist"})),
+    "optgroup": (frozenset({"option", "optgroup"}), frozenset({"select"})),
+    "tbody": (frozenset({"tr", "td", "th", "thead", "tbody"}),
+              frozenset({"table"})),
+    "tfoot": (frozenset({"tr", "td", "th", "thead", "tbody"}),
+              frozenset({"table"})),
+    "colgroup": (frozenset({"colgroup"}), frozenset({"table"})),
+}
+# start tags that act as </p> when a p is open in button scope
+# (WHATWG 13.2.6.4.7 "in body"; li/dd/dt close p too)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+    "hgroup hr main menu nav ol p pre section summary table ul li dd dt"
+    .split())
+_P_SCOPE_BOUNDARY = frozenset(
+    {"table", "td", "th", "caption", "select", "button"})
+
+
+# pseudo-classes decidable at the element's START tag in one pass
+# (:last-child / :last-of-type need the parent's END — unsupported, loud)
+_PSEUDOS = frozenset({"first-child", "nth-child",
+                      "first-of-type", "nth-of-type"})
+
 
 def _compile_compound(s: str):
-    """'span.price[data-x=1]' → (tag, classes, id, [(attr, val|None)...])"""
-    tag, classes, id_, preds = None, [], None, []
+    """'span.price[data-x^=1]:nth-of-type(2)' →
+    (tag, classes, id, [(attr, op, val)...], [(pseudo, n)...])"""
+    tag, classes, id_, preds, pseudos = None, [], None, [], []
     pos = 0
     while pos < len(s):
         m = _SEL_PART_RE.match(s, pos)
         if not m:
             raise ValueError(f"unsupported selector syntax at {s[pos:]!r}")
-        t, cls, i, attr, v1, v2, v3 = m.groups()
+        t, cls, i, attr, op, v1, v2, v3, ps, psn = m.groups()
         if t:
             if pos != 0:
                 raise ValueError(f"tag must lead the compound: {s!r}")
@@ -292,12 +347,70 @@ def _compile_compound(s: str):
             classes.append(cls)
         elif i:
             id_ = i
-        else:
-            had_eq = "=" in m.group(0)
+        elif attr:
             val = v1 if v1 is not None else v2 if v2 is not None else v3
-            preds.append((attr.lower(), val if had_eq else None))
+            preds.append((attr.lower(), op, val if op else None))
+        else:
+            if ps not in _PSEUDOS:
+                raise ValueError(
+                    f"unsupported pseudo-class :{ps} (supported: "
+                    f"{', '.join(sorted(_PSEUDOS))})")
+            if ps.startswith("nth-") and psn is None:
+                raise ValueError(f":{ps} needs an (n) argument: {s!r}")
+            pseudos.append((ps, int(psn) if psn else None))
         pos = m.end()
-    return tag, tuple(classes), id_, tuple(preds)
+    return tag, tuple(classes), id_, tuple(preds), tuple(pseudos)
+
+
+def _split_respecting_quotes(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside single/double-quoted spans — naive
+    str.split broke quoted attribute values containing the separator
+    (a[title="x > y"], ADVICE r4)."""
+    parts, buf, q = [], [], None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch == sep:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _tokenize_group(group: str) -> list[str]:
+    """One selector group → compound / '>' tokens, with whitespace and '>'
+    inside quoted attribute values kept verbatim."""
+    toks, i, n = [], 0, len(group)
+    while i < n:
+        c = group[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == ">":
+            toks.append(">")
+            i += 1
+            continue
+        j, q = i, None
+        while j < n:
+            ch = group[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "\"'":
+                q = ch
+            elif ch.isspace() or ch == ">":
+                break
+            j += 1
+        toks.append(group[i:j])
+        i = j
+    return toks
 
 
 def compile_selector(selector: str):
@@ -305,13 +418,12 @@ def compile_selector(selector: str):
     (combinator, compound) with combinator ∈ {'desc', 'child'} naming how
     the compound relates to the one BEFORE it (the first's is ignored)."""
     chains = []
-    for group in selector.split(","):
+    for group in _split_respecting_quotes(selector, ","):
         group = group.strip()
         if not group:
             raise ValueError(f"empty selector group in {selector!r}")
-        toks = group.replace(">", " > ").split()
         chain, comb = [], "desc"
-        for tok in toks:
+        for tok in _tokenize_group(group):
             if tok == ">":
                 if comb == "child" or not chain:
                     raise ValueError(f"dangling '>' in {selector!r}")
@@ -325,8 +437,26 @@ def compile_selector(selector: str):
     return chains
 
 
-def _compound_matches(comp, tag: str, attrs: dict) -> bool:
-    ctag, classes, id_, preds = comp
+def _attr_op_matches(op: str, have: str, want: str) -> bool:
+    if op == "=":
+        return have == want
+    if op == "^=":
+        return bool(want) and have.startswith(want)
+    if op == "$=":
+        return bool(want) and have.endswith(want)
+    if op == "*=":
+        return bool(want) and want in have
+    if op == "~=":
+        return want in have.split()
+    if op == "|=":
+        return have == want or have.startswith(want + "-")
+    raise ValueError(f"unsupported attribute operator {op!r}")
+
+
+def _compound_matches(comp, el) -> bool:
+    """``el`` is a stack frame: (tag, attrs, child_idx, type_idx, _)."""
+    tag, attrs, child_idx, type_idx = el[0], el[1], el[2], el[3]
+    ctag, classes, id_, preds, pseudos = comp
     if ctag is not None and tag != ctag:
         return False
     if id_ is not None and attrs.get("id") != id_:
@@ -335,10 +465,19 @@ def _compound_matches(comp, tag: str, attrs: dict) -> bool:
         have = (attrs.get("class") or "").split()
         if any(c not in have for c in classes):
             return False
-    for name, val in preds:
+    for name, op, val in preds:
         if name not in attrs:
             return False
-        if val is not None and (attrs.get(name) or "") != val:
+        if op and not _attr_op_matches(op, attrs.get(name) or "", val):
+            return False
+    for ps, n in pseudos:
+        if ps == "first-child" and child_idx != 1:
+            return False
+        if ps == "nth-child" and child_idx != n:
+            return False
+        if ps == "first-of-type" and type_idx != 1:
+            return False
+        if ps == "nth-of-type" and type_idx != n:
             return False
     return True
 
@@ -347,7 +486,7 @@ def _chain_matches(chain, stack) -> bool:
     """Right-to-left match of ``chain`` against the open-element ``stack``
     (innermost last); the rightmost compound must match the top element."""
     def rec(ci: int, si: int) -> bool:
-        if not _compound_matches(chain[ci][1], stack[si][0], stack[si][1]):
+        if not _compound_matches(chain[ci][1], stack[si]):
             return False
         if ci == 0:
             return True
@@ -358,15 +497,60 @@ def _chain_matches(chain, stack) -> bool:
 
 
 class _SelectorExtractor(HTMLParser):
-    """One-pass multi-selector element capture over the open-element stack."""
+    """One-pass multi-selector element capture over the open-element stack.
+
+    Stack frames are (tag, attrs, child_idx, type_idx, child_counters):
+    child_idx = 1-based index among the parent's element children (for
+    :first-child / :nth-child), type_idx = index among same-tag siblings
+    (:nth-of-type); child_counters accumulates those for the frame's own
+    children. Start tags first apply the HTML5 implied-end-tag rules
+    (ADVICE r4) so '<ul><li>a<li>b' yields SIBLING li elements exactly as
+    net/html/goquery — the reference's selector substrate — builds them."""
 
     def __init__(self, compiled: list) -> None:
         super().__init__(convert_charrefs=True)
         self.compiled = compiled          # [(selector_string, chains)]
-        self.stack: list = []             # [(tag, attrs)]
+        self.stack: list = []
         self.open: list = []              # captures awaiting their end tag
         self.rows: list = []
         self._pos = [0] * len(compiled)   # per-selector document-order rank
+        self._root_counters: dict = {}
+
+    def _push(self, tag: str, attrs: dict) -> None:
+        counters = self.stack[-1][4] if self.stack else self._root_counters
+        counters["__n"] = child_idx = counters.get("__n", 0) + 1
+        counters[tag] = type_idx = counters.get(tag, 0) + 1
+        self.stack.append((tag, attrs, child_idx, type_idx, {}))
+
+    def _pop_to(self, si: int) -> None:
+        """Close every frame above (and including) index ``si``, finishing
+        captures opened at each popped depth."""
+        while len(self.stack) > si:
+            depth = len(self.stack)  # captures store post-push size
+            for ci in range(len(self.open) - 1, -1, -1):
+                if self.open[ci]["depth"] == depth:
+                    self._finish(self.open.pop(ci))
+            self.stack.pop()
+
+    def _implied_end(self, tag: str) -> None:
+        rule = _IMPLIED_SIBLINGS.get(tag)
+        if rule:
+            closees, boundary = rule
+            for si in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[si][0]
+                if t in closees:
+                    self._pop_to(si)
+                    break
+                if t in boundary:
+                    break
+        if tag in _P_CLOSERS:
+            for si in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[si][0]
+                if t == "p":
+                    self._pop_to(si)
+                    break
+                if t in _P_SCOPE_BOUNDARY:
+                    break
 
     def _try_open(self, tag: str, attrs: dict, void: bool) -> None:
         for k, (sel, chains) in enumerate(self.compiled):
@@ -388,17 +572,19 @@ class _SelectorExtractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        self._implied_end(tag)
         if tag in _VOID_TAGS:
-            self.stack.append((tag, a))
+            self._push(tag, a)
             self._try_open(tag, a, void=True)
             self.stack.pop()
             return
-        self.stack.append((tag, a))
+        self._push(tag, a)
         self._try_open(tag, a, void=False)
 
     def handle_startendtag(self, tag, attrs):  # <x/> never nests
         a = dict(attrs)
-        self.stack.append((tag, a))
+        self._implied_end(tag)
+        self._push(tag, a)
         self._try_open(tag, a, void=True)
         self.stack.pop()
 
@@ -408,12 +594,7 @@ class _SelectorExtractor(HTMLParser):
         # lenient recovery: close down to the nearest matching open tag
         for si in range(len(self.stack) - 1, -1, -1):
             if self.stack[si][0] == tag:
-                while len(self.stack) > si:
-                    depth = len(self.stack)  # captures store post-push size
-                    for ci in range(len(self.open) - 1, -1, -1):
-                        if self.open[ci]["depth"] == depth:
-                            self._finish(self.open.pop(ci))
-                    self.stack.pop()
+                self._pop_to(si)
                 break
 
     def handle_data(self, data):
@@ -442,7 +623,11 @@ def select_html(html: str | None, compiled: list) -> list[dict]:
     try:
         p.feed(html)
         p.close()
-    except Exception:
+    except RecursionError:
+        # the one genuinely DATA-dependent blowup (absurd nesting depth in a
+        # pathological page) — skip the page. Engine bugs raise loudly: a
+        # blanket except here made a selector-engine defect indistinguishable
+        # from "no matches" (ADVICE r4), against the fail-loudly policy.
         return []
     return sorted(p.rows, key=lambda r: (r["selector"], r["pos"]))
 

@@ -67,7 +67,7 @@ def test_p_description_parity_with_fixed_schema():
 
 
 def test_unsupported_selector_raises():
-    for bad in ("p:nth-child(2)", "a ~ b", "", "div >"):
+    for bad in ("p:last-child", "a ~ b", "", "div >", "p:nth-of-type"):
         with pytest.raises(ValueError):
             compile_selector(bad)
 
@@ -103,3 +103,77 @@ def test_crawler_selected_table(spark, tmp_path):
     ]
     # rows carry the crawl keys (joinable back to visited/fetches)
     assert {"url_norm", "depth", "seq", "batch"} <= set(sel.columns)
+
+
+# -- round-5 grammar extensions + HTML5 implied end tags ---------------------
+
+def test_implied_end_tags_siblings_not_nested():
+    """net/html auto-closes optional end tags (ADVICE r4): '<ul><li>a<li>b'
+    must yield sibling li elements, not nested ones."""
+    assert [r["text"] for r in _rows("li", "<ul><li>a<li>b<li>c</ul>")] == \
+        ["a", "b", "c"]
+    assert [r["text"] for r in _rows("ul > li",
+                                     "<ul><li>a<li>b</ul>")] == ["a", "b"]
+    assert [r["text"] for r in _rows("p", "<p>one<p>two")] == ["one", "two"]
+    # block start tag closes an open p (button-scope rule)
+    assert [r["text"] for r in _rows("p", "<div><p>x<div>y</div></div>")] \
+        == ["x"]
+    # table rows/cells
+    got = _rows("tr > td", "<table><tr><td>1<td>2<tr><td>3</table>")
+    assert [r["text"] for r in got] == ["1", "2", "3"]
+    # dl / select
+    assert [r["text"] for r in _rows("dt", "<dl><dt>a<dd>x<dt>b</dl>")] == \
+        ["a", "b"]
+    assert [r["text"] for r in
+            _rows("option", "<select><option>a<option>b</select>")] == \
+        ["a", "b"]
+    # nested list stays INSIDE the li (ul does not imply </li>)
+    assert [r["text"] for r in
+            _rows("li > i", "<ul><li>a<ul><li><i>n</i></ul></ul>")] == ["n"]
+
+
+def test_parse_html_descriptions_implied_close():
+    # '<p class=description>one<p>two' — the second p closes the first, so
+    # 'two' must NOT leak into the description (same bug class, fixed in
+    # _Extractor too)
+    r = parse_html('<p class="description">one<p>two</p>')
+    assert r["descriptions"] == ["one"]
+
+
+def test_pseudo_classes():
+    doc = "<div><span>s</span><p>p1</p><p>p2</p><p>p3</p></div>"
+    assert [r["text"] for r in _rows("p:first-of-type", doc)] == ["p1"]
+    assert [r["text"] for r in _rows("p:nth-of-type(2)", doc)] == ["p2"]
+    assert [r["text"] for r in _rows("p:nth-child(3)", doc)] == ["p2"]
+    assert [r["text"] for r in _rows("span:first-child", doc)] == ["s"]
+    assert [r["text"] for r in _rows("p:first-child", doc)] == []
+
+
+def test_attr_substring_ops():
+    doc = ('<a href="https://x.test/a.jpg" lang="en-US" class="big red">1'
+           '</a><a href="http://y.test/b.png">2</a>')
+    assert [r["text"] for r in _rows('a[href^="https"]', doc)] == ["1"]
+    assert [r["text"] for r in _rows('a[href$=".png"]', doc)] == ["2"]
+    assert [r["text"] for r in _rows('a[href*="y.test"]', doc)] == ["2"]
+    assert [r["text"] for r in _rows('a[class~="red"]', doc)] == ["1"]
+    assert [r["text"] for r in _rows('a[lang|="en"]', doc)] == ["1"]
+    # CSS: empty value never matches for substring ops
+    assert _rows('a[href^=""]', doc) == []
+
+
+def test_quoted_attr_values_with_separators():
+    """Quoted values containing space / ',' / '>' parse and match
+    (ADVICE r4: the old split()-based lexer raised ValueError)."""
+    doc = ('<a title="x > y">q</a><a title="a,b c">r</a><i>u</i>')
+    assert [r["text"] for r in _rows('a[title="x > y"]', doc)] == ["q"]
+    assert [r["text"] for r in _rows('a[title="a,b c"]', doc)] == ["r"]
+    got = _rows('i, a[title="a,b c"]', doc)
+    assert sorted(r["text"] for r in got) == ["r", "u"]
+
+
+def test_selector_engine_bugs_raise_loudly():
+    """select_html no longer swallows engine defects behind a blanket
+    except (ADVICE r4): a malformed compiled structure must raise, not
+    return zero rows."""
+    with pytest.raises(Exception):
+        select_html("<p>x</p>", [("p", "not-a-chain-list")])
