@@ -289,6 +289,98 @@ def crawl_throughput(spark, web_path: str, warm: bool = True,
     return dict(best, all_secs=[r["secs"] for r in runs])
 
 
+SIM_SCALE_ROWS = int(os.environ.get("RODDY_SIM_SCALE_ROWS", "50000"))
+
+
+def _sim_scale_tables(spark, root: str, n: int) -> None:
+    """Deterministic ~10× similarity corpora (VERDICT r4 item 6): the
+    contract runs these operators on sf0.1's 5k docs / 600 vectors — too
+    small to catch a quadratic candidate-generation regression. Generated,
+    not driver data: every odd id is a near-duplicate of its even
+    predecessor (one word / one dimension perturbed), plus high-frequency
+    stop-shingles that exercise the frequency cap. Pure Spark SQL
+    expressions, written once and cached by size-keyed path."""
+    from pyspark.sql import functions as F
+    if os.path.exists(os.path.join(root, "docs", "_SUCCESS")) and \
+            os.path.exists(os.path.join(root, "emb", "_SUCCESS")):
+        return
+    base = spark.range(n).select(
+        "id", (F.col("id") - F.col("id") % 2).alias("bid"))
+
+    def word(p):
+        return F.concat(F.lit("w"), F.pmod(
+            F.hash(F.col("bid") * 37 + p), F.lit(2000)).cast("string"))
+
+    words = []
+    for p in range(28):
+        # every 7th position: a stop word from a 3-word set → shingles
+        # shared by ~n/ docs, dropped by max_shingle_freq
+        words.append(F.concat(F.lit("the"),
+                              F.pmod(F.hash(F.lit(p)), F.lit(3))
+                              .cast("string"))
+                     if p % 7 == 3 else word(p))
+    last = F.when(F.col("id") % 2 == 1, F.lit("zq")).otherwise(word(28))
+    docs = base.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words, last).alias("text"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(root, "docs"))
+    emb = base.select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((F.pmod(F.hash(F.col("bid") * 101, d), F.lit(2001))
+                        - 1000).cast("float") / 1000.0
+                       + F.when((F.col("id") % 2 == 1) & (d == 0), 0.05)
+                       .otherwise(0.0))).alias("embedding"))
+    emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(root, "emb"))
+
+
+def similarity_scale(spark) -> dict:
+    """One timed run of each heavy similarity/dedup operator at ~10×
+    contract rows, with CANDIDATE-count telemetry (mid-plan Observation) —
+    candidate blowup is the quadratic failure mode banding/frequency caps
+    exist to prevent, and it is invisible in sub-second contract timings.
+    Recorded per round so a regression shows as a candidate-count jump."""
+    from pyspark.sql import functions as F
+
+    from roddy_spark.operators import similarity as SIM
+    from roddy_spark.operators import textdedup as TD
+    root = os.path.join(tempfile.gettempdir(),
+                        f"roddy_simscale_{SIM_SCALE_ROWS}")
+    _sim_scale_tables(spark, root, SIM_SCALE_ROWS)
+    docs = spark.read.parquet(os.path.join(root, "docs"))
+    emb = spark.read.parquet(os.path.join(root, "emb"))
+    queries = (emb.filter(F.col("vec_id") % (SIM_SCALE_ROWS // 16) == 0)
+               .limit(16))
+    out = {"rows": SIM_SCALE_ROWS}
+
+    def run(name, fn):
+        tel = {}
+        spark._jvm.System.gc()
+        t0 = time.time()
+        n = fn(tel).count()
+        secs = round(time.time() - t0, 2)
+        rec = {"secs": secs, "result_rows": n}
+        if "candidates" in tel:
+            rec["candidates"] = int(tel["candidates"].get["candidates"])
+        out[name] = rec
+
+    run("ngram_jaccard", lambda t: TD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_freq=1000, telemetry=t))
+    run("minhash_lsh", lambda t: TD.minhash_lsh_pairs(
+        docs, threshold=0.5, telemetry=t))
+    # 16 planes / 1 probe bit at 50k vectors: bucket count scales with the
+    # corpus so candidates stay ~linear (8 planes is the CONTRACT-scale
+    # setting; production sizes n_planes to log2(corpus/target_bucket))
+    run("embedding_neardup", lambda t: SIM.cosine_near_dup_pairs(
+        emb, threshold=0.9, n_planes=16, probe_bits=1, telemetry=t))
+    run("ann_ivf_topk", lambda t: SIM.ivf_topk(
+        queries, emb, k=10, n_centroids=64, n_probe=8, telemetry=t))
+    return out
+
+
 def run_queries(spark, reps: int = 3) -> dict:
     """Per-query steady-state timing: each query runs ``reps`` times, min
     reported — run 1 of a fresh plan shape pays whole-stage-codegen
@@ -468,6 +560,7 @@ def main() -> None:
         materialize_web(spark, scale_web_path, SCALE_HOSTS, SCALE_PAGES)
         materialize_web(spark, scale2_web_path, SCALE2_HOSTS, SCALE2_PAGES)
     r_loop = crawl_throughput(spark, web_path)
+    r_sim = {} if quick else similarity_scale(spark)
     # headline: the frontier level at FULL box width (the "whole cluster"
     # number — the scaling pair below deliberately runs under-subscribed
     # sides and is about the RATIO, not peak throughput)
@@ -614,6 +707,7 @@ def main() -> None:
         "scaling": scaling,
         "scaling_8_32": scaling_8_32,
         "box_scaling_probe": box_probe,
+        "similarity_scale": r_sim,
         "query_phase_telemetry": qphase.get("telemetry", {}),
         "bench_web": {"hosts": BENCH_HOSTS, "pages": BENCH_PAGES,
                       "scale_hosts": SCALE_HOSTS, "scale_pages": SCALE_PAGES},

@@ -109,6 +109,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = (c.join(F.broadcast(qp), "bucket")
               .withColumn("sim", cosine(F.col("qv"), F.col("nv")))
               .select("qid", "nid", "sim").dropDuplicates(["qid", "nid"]))
+    from roddy_spark.operators.textdedup import _observe_candidates
+    scored = _observe_candidates(scored, telemetry)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -158,7 +160,8 @@ def _nearest_centroids(vec: Column, cent, n_probe: int) -> Column:
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_rows: int = 2048) -> DataFrame:
+             sample_rows: int = 2048,
+             telemetry: dict | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer twin of
     ``lsh_topk``: a bounded-sample seeded k-means learns ``n_centroids``
     cells driver-side; every corpus vector is assigned to its nearest cell
@@ -182,6 +185,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = (c.join(F.broadcast(q), "cell")
               .withColumn("sim", cosine(F.col("qv"), F.col("nv")))
               .select("qid", "nid", "sim").dropDuplicates(["qid", "nid"]))
+    from roddy_spark.operators.textdedup import _observe_candidates
+    scored = _observe_candidates(scored, telemetry)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -192,7 +197,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           n_planes: int = 8, dim: int = 64,
-                          probe_bits: int = 2) -> DataFrame:
+                          probe_bits: int = 2,
+                          telemetry: dict | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via multi-probe
     LSH bucketing: side A explodes to every bucket within ``probe_bits``
     sign-bit flips of its own, so a genuine near-dup pair whose vectors
@@ -211,9 +217,11 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
                     F.explode(probes).alias("bucket")))
     b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                    F.col("sig").alias("bucket"))
-    return (a.join(b, "bucket")
+    from roddy_spark.operators.textdedup import _observe_candidates
+    cand = (a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .dropDuplicates(["id_a", "id_b"]))
+    return (_observe_candidates(cand, telemetry)
             .withColumn("sim", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", F.round("sim", 4).alias("sim")))

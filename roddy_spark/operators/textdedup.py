@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 from roddy_spark.functions import text as T
 
 
+def _observe_candidates(df: DataFrame, telemetry: dict | None):
+    """Optionally attach a mid-plan CollectMetrics node counting the
+    operator's CANDIDATE rows (the pre-verification equi-join output — the
+    quantity that blows up if banding/frequency-caps regress). The caller
+    reads ``telemetry["candidates"].get`` after its action; no effect on
+    the result or, when ``telemetry`` is None, on the plan (VERDICT r4
+    item 6)."""
+    if telemetry is None:
+        return df
+    from pyspark.sql import Observation
+    obs = Observation()
+    telemetry["candidates"] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("candidates"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """One row per distinct normalized text: keeper = min id (deterministic
@@ -33,7 +48,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_freq: int = 1000) -> DataFrame:
+                        max_shingle_freq: int = 1000,
+                        telemetry: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
     shingle-explode → (drop shingles shared by > max_shingle_freq docs — they
@@ -54,6 +70,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
              .groupBy(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("n_inter")))
+    inter = _observe_candidates(inter, telemetry)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
@@ -81,7 +98,8 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 8, n: int = 3,
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
                       n: int = 3, threshold: float = 0.5,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      telemetry: dict | None = None) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band of the signature become
     candidate pairs (equi-join on (band, band_key)); candidates are then
     verified with exact Jaccard. Returns (id_a, id_b, jaccard)."""
@@ -101,6 +119,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
                    & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct())
+    cand = _observe_candidates(cand, telemetry)
     # verify candidates with exact Jaccard (join back the shingle sets)
     sh = (df.select(F.col(id_col).alias("id"),
                     T.word_shingles(text_col, n).alias("sh")))

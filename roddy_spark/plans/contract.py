@@ -808,6 +808,158 @@ FROM documents WHERE doc_id < 48
 """
 
 
+def q_audio_decode_meta(spark, sf_dir):
+    """Oracled METADATA half of the audio-decode family (VERDICT r4 item
+    5, same split as image_decode_meta): a closed-form pcm16 corpus —
+    n_samples = 4000 + 8*((doc_id*397) % 1500), a pure 0.6-amplitude sine
+    at freq = 100 + (doc_id*97) % 900 Hz, rate 8000 — is encoded per row,
+    decoded by the REAL ``audio_features`` operator, and the decoded
+    duration plus analytic-invariant flags are reported. The DuckDB twin
+    re-derives duration_ms INDEPENDENTLY from doc_id and pins every flag
+    true: a decoder that drops samples, mis-reads the rate, or corrupts
+    amplitudes hash-mismatches. The waveform-exactness half (RMS/ZCR
+    numeric values over the rng corpus) stays rows-only in
+    audio_features."""
+    import numpy as np
+    import pandas as pd
+
+    from roddy_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                  audio_features,
+                                                  encode_pcm16)
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 16).select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].to_list():
+                i = int(i)
+                n = 4000 + 8 * ((i * 397) % 1500)
+                f = 100 + (i * 97) % 900
+                t = np.arange(n) / 8000.0
+                samples = 0.6 * np.sin(2 * np.pi * f * t)
+                out.append({
+                    "media_id": f"aud{i}", "media_type": "audio",
+                    "fmt": "pcm16", "bytes": encode_pcm16(samples, 8000),
+                    "meta": {"w": None, "h": None, "sample_rate": 8000,
+                             "n_frames": n, "duration_ms": n // 8}})
+            yield pd.DataFrame(out, columns=[x.name for x in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = audio_features(media)
+    i = F.substring("media_id", 4, 10).cast("int")
+    n = F.lit(4000) + 8 * ((i * 397) % 1500)
+    f = (F.lit(100) + (i * 97) % 900).cast("double")
+    # analytic invariants of a quantized 0.6-sine (≥50 full cycles):
+    # rms → 0.6/√2 within ~0.004, zcr → 2f/rate within ~5e-4, peak just
+    # under 0.6 (coarsest sampling: 8 points/cycle → ≥ 0.6·cos(π/8))
+    return feats.select(
+        "media_id",
+        F.round(F.col("duration_s") * 1000).cast("int").alias("duration_ms"),
+        (F.abs(F.col("rms") - 0.6 / 2.0 ** 0.5) < 0.01).alias("rms_ok"),
+        (F.abs(F.col("zero_crossing_rate") - 2.0 * f / 8000.0)
+         < 0.005).alias("zcr_ok"),
+        ((F.col("peak") > 0.5) & (F.col("peak") < 0.6001)).alias("peak_ok"),
+        F.col("decode_error").isNull().alias("decoded_ok"))
+
+
+SQL_AUDIO_DECODE_META = """
+SELECT 'aud' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST((4000 + 8 * ((doc_id * 397) % 1500)) / 8 AS INTEGER)
+           AS duration_ms,
+       true AS rms_ok, true AS zcr_ok, true AS peak_ok, true AS decoded_ok
+FROM documents WHERE doc_id < 16
+"""
+
+
+def q_video_decode_meta(spark, sf_dir):
+    """Oracled METADATA half of the video family (VERDICT r4 item 5): a
+    closed-form fvid corpus — n_frames = 4 + doc_id % 6 at 10 fps, frame
+    geometry w = 16 + doc_id % 33, h = 16 + 5*doc_id % 33, frame f = the
+    image_decode_meta pixel recipe rolled 3f columns — is encoded per row
+    and sampled by the REAL ``video_frame_sample`` operator (every 2nd
+    frame). Output: one row per sampled frame with its index, timestamp,
+    and flags re-verifying the decoded frame's geometry and EXACT phash
+    (fvid frames are lossless PNG) against a frame recomputed purely from
+    (doc_id, frame_idx). The DuckDB twin regenerates the sampled
+    (media_id, frame_idx, ts_ms) set via unnest(range(...)) and pins the
+    flags: wrong frame order, off-by-one sampling, timestamp drift, or
+    pixel corruption all hash-mismatch. Pixel-level PSNR stays rows-only
+    in video_frame_sample."""
+    import numpy as np
+    import pandas as pd
+
+    from roddy_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                  encode_video,
+                                                  video_frame_sample)
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 12).select("doc_id"))
+
+    def _frame0(i: int) -> "np.ndarray":
+        w, h = 16 + i % 33, 16 + (i * 5) % 33
+        yy, xx = np.mgrid[0:h, 0:w]
+        rng = np.random.default_rng(np.uint64(1000 + i))
+        return np.stack(
+            [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+             (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+             rng.integers(0, 256, size=(h, w), dtype=np.uint8)], axis=-1)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"].to_list():
+                i = int(i)
+                n_frames = 4 + i % 6
+                base = _frame0(i)
+                frames = [np.roll(base, shift=3 * k, axis=1)
+                          for k in range(n_frames)]
+                out.append({
+                    "media_id": f"vid{i}", "media_type": "video",
+                    "fmt": "fvid", "bytes": encode_video(frames, fps=10),
+                    "meta": {"w": int(base.shape[1]),
+                             "h": int(base.shape[0]), "sample_rate": None,
+                             "n_frames": n_frames,
+                             "duration_ms": n_frames * 100}})
+            yield pd.DataFrame(out, columns=[x.name for x in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    sampled = video_frame_sample(media, every_k=2)
+
+    def verify(batches):
+        from roddy_spark.sources import codecs
+        for pdf in batches:
+            out = []
+            for mid, idx, ts, png, ph in zip(
+                    pdf["media_id"].to_list(), pdf["frame_idx"].to_list(),
+                    pdf["ts_ms"].to_list(), pdf["png"].to_list(),
+                    pdf["phash"].to_list()):
+                i = int(mid[3:])
+                expect = np.roll(_frame0(i), shift=3 * int(idx), axis=1)
+                dec = codecs.decode_png(bytes(png))
+                out.append({
+                    "media_id": mid, "frame_idx": int(idx),
+                    "ts_ms": int(ts),
+                    "dims_ok": dec.shape[:2] == expect.shape[:2],
+                    "phash_ok": int(ph) == codecs.phash64(expect)})
+            yield pd.DataFrame(out, columns=[
+                "media_id", "frame_idx", "ts_ms", "dims_ok", "phash_ok"])
+
+    return sampled.mapInPandas(
+        verify, "media_id string, frame_idx int, ts_ms int, "
+                "dims_ok boolean, phash_ok boolean")
+
+
+SQL_VIDEO_DECODE_META = """
+SELECT 'vid' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(range(0, 4 + doc_id % 6, 2)) AS INTEGER) AS frame_idx,
+       CAST(unnest(range(0, 4 + doc_id % 6, 2)) * 100 AS INTEGER) AS ts_ms,
+       true AS dims_ok, true AS phash_ok
+FROM documents WHERE doc_id < 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only checks): image payload + full BFS crawl
 # ---------------------------------------------------------------------------
@@ -1129,6 +1281,8 @@ QUERIES = {
     "crawl_dfs_order": q_crawl_dfs_order,
     "css_select": q_css_select,
     "image_decode_meta": q_image_decode_meta,
+    "audio_decode_meta": q_audio_decode_meta,
+    "video_decode_meta": q_video_decode_meta,
 }
 
 ORACLES = {
@@ -1166,10 +1320,14 @@ ORACLES = {
     "crawl_dfs_order": SQL_CRAWL_DFS_ORDER,
     "css_select": SQL_CSS_SELECT,
     "image_decode_meta": SQL_IMAGE_DECODE_META,
+    "audio_decode_meta": SQL_AUDIO_DECODE_META,
+    "video_decode_meta": SQL_VIDEO_DECODE_META,
     # Rows-only remainder, each justified: image_decode_validate /
     # phash_neardup / audio_features / video_frame_sample decode binary
-    # payloads DuckDB has no codec for (their SQL-expressible halves are
-    # oracled via image_decode_meta and phash_banding);
+    # payloads DuckDB has no codec for — their SQL-expressible metadata
+    # halves are oracled via image_decode_meta / audio_decode_meta /
+    # video_decode_meta (+ the banding math via phash_banding), leaving
+    # only the raw pixel/waveform numeric halves rows-only;
     # frontier_stream_ingest is a stateful streaming job
     # (batch-equivalence-tested); crawl_bfs runs on the generator HTML web
     # (no SQL twin for generated links) and uniquely exercises the

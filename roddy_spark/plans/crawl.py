@@ -32,7 +32,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, MapType, StringType,
                                StructField, StructType)
@@ -48,6 +48,18 @@ from roddy_spark.operators.rank import release_rank_caches
 
 PRIORITY_PAGING = 0
 PRIORITY_CHILD = 1
+
+# Cap on the per-batch set-cookie delta that rides the fetches write as an
+# Observation metric (VERDICT r4 item 4): sliced to cap+1 so driver
+# traffic stays bounded for any batch size; an overflowing batch (sentinel
+# present) falls back to the grouped-collect job the fold replaced.
+MAX_COOKIE_UPDATE_ROWS = 100_000
+# Same pattern for the visited-bloom delta: small/medium batches merge
+# their url_hash delta from a SLICED collect_list riding the visited write
+# (≤ ~8 MB driver traffic); a batch over the cap falls back to the
+# distributed per-shard bitmap build (one bounded job) — the path that was
+# previously paid on EVERY batch.
+MAX_BLOOM_DELTA_HASHES = 1_000_000
 
 # Hook detach semantics (reference: roddy.go:404-422 On*Detach +
 # callback_options.go wrapper hooks): a registered hook can UNREGISTER
@@ -523,19 +535,28 @@ class Crawler:
             if jar is not None:
                 self.cookies.update({r["host"]: r["cookie"]
                                      for r in jar.collect()})
-            n_cand = candidates.count() if candidates is not None else 0
-            n_pending = pending.count() if pending is not None else 0
-            # re-derive pending BYTES with one cheap aggregate over the
-            # read-back pending table (same expression the write-time
-            # Observation uses): the earlier 64 B/row floor under-estimated
-            # fat-ctx pending tables — the exact case the byte-gated
-            # broadcast exists for — letting the first post-resume batch
-            # broadcast a frontier the gate should route to SMJ (ADVICE r3)
-            pending_bytes = 0
-            if n_pending:
-                pending_bytes = int(pending.select(
-                    _row_bytes_agg(pending).alias("b")).first()["b"] or 0
-                    ) + 32 * n_pending
+            # The frontier-state counts/bytes are write-time Observation
+            # values the completed batch already measured — the manifest
+            # carries them, so a resume launches ZERO count/aggregate jobs
+            # (VERDICT r4 item 4). The fallbacks only fire for manifests
+            # written by older engine versions.
+            n_cand = m.get("next_candidates")
+            if n_cand is None:
+                n_cand = candidates.count() if candidates is not None else 0
+            n_pending = m.get("pending_n")
+            if n_pending is None:
+                n_pending = pending.count() if pending is not None else 0
+            pending_bytes = m.get("pending_bytes")
+            if pending_bytes is None:
+                # re-derive pending BYTES with one aggregate over the
+                # read-back pending table (same expression the write-time
+                # Observation uses) — exact, never the 64 B/row floor that
+                # under-gated fat-ctx broadcasts (ADVICE r3)
+                pending_bytes = 0
+                if n_pending:
+                    pending_bytes = int(pending.select(
+                        _row_bytes_agg(pending).alias("b")).first()["b"] or 0
+                        ) + 32 * n_pending
             bloom = (self._build_bloom(visited)
                      if self._bloom_active(admitted_count) else None)
         else:
@@ -549,9 +570,11 @@ class Crawler:
             # resumes from candidates/batch=0 and restarts at the seeds.
             # (Committing first would make resume read an absent candidate
             # table, see n_cand=0 and declare an empty crawl done.)
-            store.write(self._seed_candidates(seeds), "candidates", 0)
+            obs_seed = Observation("seed")
+            store.write(self._seed_candidates(seeds).observe(
+                obs_seed, F.count(F.lit(1)).alias("n")), "candidates", 0)
             candidates = store.read(spark, "candidates", 0)
-            n_cand = candidates.count()
+            n_cand = int(obs_seed.get["n"])  # rides the seed write
             pending = None
             n_pending = 0
             pending_bytes = 0
@@ -561,9 +584,8 @@ class Crawler:
             store.commit_manifest({
                 "completed_batch": 0, "admitted_count": 0,
                 "success_count": 0, "batches": [], "done": False,
-                "config": repr(cfg)})
-
-        from pyspark.sql import Observation
+                "next_candidates": n_cand, "pending_n": 0,
+                "pending_bytes": 0, "config": repr(cfg)})
 
         while batch < self.max_batches:
             batch += 1
@@ -581,10 +603,17 @@ class Crawler:
                                  self.robots_map, admitted_count,
                                  num_partitions=self._width(n_cand))
                 obs_adm = Observation(f"adm_{batch}")
+                adm_metrics = [F.count(F.lit(1)).alias("n"),
+                               _row_bytes_agg(admitted).alias("bytes")]
+                if bloom is not None:
+                    # bloom delta rides the visited write, sliced to the
+                    # cap (bounded driver traffic; overflow → distributed
+                    # per-shard build below) — no per-batch delta job
+                    adm_metrics.append(F.slice(
+                        F.collect_list("url_hash"), 1,
+                        MAX_BLOOM_DELTA_HASHES + 1).alias("hashes"))
                 store.write_visited(
-                    admitted.observe(
-                        obs_adm, F.count(F.lit(1)).alias("n"),
-                        _row_bytes_agg(admitted).alias("bytes"))
+                    admitted.observe(obs_adm, *adm_metrics)
                     .withColumn("batch", F.lit(batch)), batch)
                 release_rank_caches()
                 admitted = store.read_visited(spark, batch).drop("batch")
@@ -594,14 +623,20 @@ class Crawler:
                 if bloom is None and self._bloom_active(admitted_count):
                     bloom = self._build_bloom(store.read_visited(spark))
                 elif bloom is not None and n_admitted:
-                    # per-micro-batch delta merge: distributed per-shard
-                    # bitmap build over the batch delta, shard-wise OR
-                    # (north rule's cuckoo/bloom delta-merge per micro-batch)
-                    from roddy_spark.operators.dedup import \
-                        sharded_bloom_from_hashes_df
-                    bloom.merge(sharded_bloom_from_hashes_df(
-                        admitted, cfg.bloom_capacity, cfg.bloom_fpp,
-                        n_shards=bloom.n_shards))
+                    # per-micro-batch delta merge (north rule's cuckoo/
+                    # bloom delta-merge): driver-list add for in-cap
+                    # batches, distributed per-shard bitmap build + shard-
+                    # wise OR for over-cap ones
+                    hashes = obs_adm.get["hashes"]
+                    if len(hashes) > MAX_BLOOM_DELTA_HASHES:
+                        from roddy_spark.operators.dedup import \
+                            sharded_bloom_from_hashes_df
+                        bloom.merge(sharded_bloom_from_hashes_df(
+                            admitted, cfg.bloom_capacity, cfg.bloom_fpp,
+                            n_shards=bloom.n_shards))
+                    else:
+                        import numpy as np
+                        bloom.add(np.asarray(hashes, dtype=np.int64))
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
@@ -668,11 +703,25 @@ class Crawler:
                 if kept is not None:
                     fetched = kept.select(*fetched.columns).unionByName(
                         fetched.filter(~F.col("success")))
-            fetched = fetched.observe(
-                obs_f, F.count(F.lit(1)).alias("n"),
+            f_metrics = [
+                F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("success").cast("long")).alias("ok"),
                 F.sum(((F.col("priority") == PRIORITY_PAGING)
-                       & F.col("success")).cast("long")).alias("paging"))
+                       & F.col("success")).cast("long")).alias("paging")]
+            has_cookies = "set_cookie" in fetched.columns
+            if has_cookies:
+                # cookie write-back delta rides the fetches write (VERDICT
+                # r4 item 4) — collect_list skips the null struct for rows
+                # without a set-cookie; sliced to cap+1 so driver traffic
+                # is bounded at any batch size (overflow → grouped-collect
+                # fallback below)
+                f_metrics.append(F.slice(F.collect_list(
+                    F.when(F.col("set_cookie").isNotNull(), F.struct(
+                        U.host_of("url_norm").alias("host"),
+                        F.col("set_cookie").alias("cookie"),
+                        F.col("seq").alias("seq")))),
+                    1, MAX_COOKIE_UPDATE_ROWS + 1).alias("cookie_updates"))
+            fetched = fetched.observe(obs_f, *f_metrics)
             # fetches feed the HTML-parse stage next — SMALL batches are
             # narrowed to a data-sized width (AQE would otherwise coalesce
             # 2KB-html batches into ONE partition, or tiny batches would
@@ -698,17 +747,27 @@ class Crawler:
 
             # 3b2. cookie write-back (K3, storage/storage.go:92-131):
             # set-cookie responses update the jar (last writer per host by
-            # seq) and the jar is persisted for resume. Bounded by host
-            # count; reads the persisted fetches snapshot.
-            if "set_cookie" in fetched.columns:
-                updates = (fetched
-                           .filter(F.col("set_cookie").isNotNull())
-                           .groupBy(U.host_of("url_norm").alias("host"))
-                           .agg(F.max_by("set_cookie", "seq")
-                                .alias("cookie")).collect())
-                if updates:
+            # seq) and the jar is persisted for resume. The delta rode the
+            # fetches write as an Observation (no extra job); only an
+            # over-cap batch pays the grouped-collect fallback.
+            if has_cookies:
+                updates = list(obs_f.get["cookie_updates"] or [])
+                if len(updates) > MAX_COOKIE_UPDATE_ROWS:
+                    updates = (fetched
+                               .filter(F.col("set_cookie").isNotNull())
+                               .groupBy(U.host_of("url_norm").alias("host"))
+                               .agg(F.max_by("set_cookie", "seq")
+                                    .alias("cookie"))
+                               .withColumn("seq", F.lit(0)).collect())
+                # last writer per host by seq, reduced driver-side
+                best: dict = {}
+                for r in updates:
+                    if r["host"] not in best or r["seq"] >= \
+                            best[r["host"]][1]:
+                        best[r["host"]] = (r["cookie"], r["seq"])
+                if best:
                     self.cookies.update(
-                        {r["host"]: r["cookie"] for r in updates})
+                        {h: c for h, (c, _) in best.items()})
                 if self.cookies:
                     store.write(spark.createDataFrame(
                         list(self.cookies.items()),
@@ -753,7 +812,13 @@ class Crawler:
                 if res is not None:
                     store.write(res, "scraped", batch)
 
-            # 5. metrics + snapshot commit
+            # 5. metrics + snapshot commit. The manifest carries the
+            # NEXT-batch frontier-state numbers (all write-time Observation
+            # values) so a resume replays them without any count/aggregate
+            # job (VERDICT r4 item 4).
+            next_pending_n = int(obs_def.get["n"]) if obs_def else 0
+            next_pending_bytes = ((int(obs_def.get["bytes"] or 0)
+                                   + 32 * next_pending_n) if obs_def else 0)
             batches.append({
                 "batch": batch, "candidates": n_cand, "admitted": n_admitted,
                 "fetched": n_fetched, "success": n_ok,
@@ -763,6 +828,8 @@ class Crawler:
                 "completed_batch": batch, "admitted_count": admitted_count,
                 "success_count": success_count,
                 "paging_count": paging_count, "batches": batches,
+                "next_candidates": n_next, "pending_n": next_pending_n,
+                "pending_bytes": next_pending_bytes,
                 "done": False, "config": repr(cfg)})
 
             # 6. roll state (re-read from disk: plan truncation)
@@ -770,9 +837,8 @@ class Crawler:
             n_cand = n_next
             if cfg.per_host_budget:
                 pending = store.read(spark, "pending", batch)
-                n_pending = int(obs_def.get["n"]) if obs_def else 0
-                pending_bytes = ((int(obs_def.get["bytes"] or 0)
-                                  + 32 * n_pending) if obs_def else 0)
+                n_pending = next_pending_n
+                pending_bytes = next_pending_bytes
             visited = store.read_visited(spark)
 
         final = store.manifest() or {}

@@ -66,6 +66,16 @@ INTAKE_SCHEMA = StructType([
 # function of the ingested FILES only
 _ORDER_COLS = ("priority", "__src_file", "__src_ridx")
 
+# Cap on the per-epoch hash delta shipped through the driver as an
+# Observation metric (VERDICT r4 item 8): the collect_list rides the
+# visited write SLICED to cap+1 elements, so driver traffic is bounded at
+# ~8 B × cap (≈8 MB) no matter how oversized the stream trigger is. An
+# epoch that overflows the cap (the +1 sentinel) falls back to the
+# DISTRIBUTED per-shard bitmap build over the just-written batch
+# (sharded_bloom_from_hashes_df) — one extra bounded job on exactly the
+# epochs where the fold-into-write shortcut would have been the hazard.
+MAX_EPOCH_HASHES = 1_000_000
+
 
 class FrontierIngest:
     """Continuous candidate intake into a crawl's visited/admitted store.
@@ -95,6 +105,16 @@ class FrontierIngest:
 
     def _build_bloom(self, visited: DataFrame | None) -> ShardedBloom:
         return build_visited_bloom(self.config, visited)
+
+    def _merge_delta_distributed(self, batch_no: int) -> None:
+        """Oversized-epoch fallback: per-shard bitmap build over the just-
+        written batch, merged shard-wise — driver memory stays one shard
+        bitmap regardless of epoch size (same path the batch loop uses)."""
+        from roddy_spark.operators.dedup import sharded_bloom_from_hashes_df
+        batch_df = self.store.read_visited(self.spark, batch_no)
+        self._bloom.merge(sharded_bloom_from_hashes_df(
+            batch_df, self.config.bloom_capacity, self.config.bloom_fpp,
+            n_shards=self._bloom.n_shards))
 
     def _process_batch(self, raw: DataFrame, epoch_id: int) -> None:
         spark = self.spark
@@ -127,7 +147,10 @@ class FrontierIngest:
         metrics = [F.count(F.lit(1)).alias("n")]
         delta_rides_on_write = self._bloom is not None
         if delta_rides_on_write:
-            metrics.append(F.collect_list("url_hash").alias("hashes"))
+            # sliced to the guard cap + 1 sentinel element: bounds driver
+            # traffic for ANY trigger size (VERDICT r4 item 8)
+            metrics.append(F.slice(F.collect_list("url_hash"), 1,
+                                   MAX_EPOCH_HASHES + 1).alias("hashes"))
         self.store.write_visited(
             admitted.observe(obs, *metrics)
             .withColumn("batch", F.lit(batch_no)), batch_no)
@@ -137,8 +160,14 @@ class FrontierIngest:
         if self._bloom is None and self._bloom_active(self._admitted_total):
             self._bloom = self._build_bloom(self.store.read_visited(spark))
         elif delta_rides_on_write and n:
-            import numpy as np
-            self._bloom.add(np.asarray(obs.get["hashes"], dtype=np.int64))
+            hashes = obs.get["hashes"]
+            if len(hashes) > MAX_EPOCH_HASHES:
+                # oversized epoch: distributed full-delta rebuild over the
+                # just-written batch instead of an unbounded driver list
+                self._merge_delta_distributed(batch_no)
+            else:
+                import numpy as np
+                self._bloom.add(np.asarray(hashes, dtype=np.int64))
         self.store.commit_manifest({
             "completed_batch": batch_no,
             "admitted_count": self._admitted_total,
