@@ -87,7 +87,8 @@ def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_planes: int = 8, dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding", probe_bits: int = 2) -> DataFrame:
+             vec_col: str = "embedding", probe_bits: int = 2,
+             telemetry: dict | None = None) -> DataFrame:
     """Approximate top-k: candidates share the hyperplane-sign bucket (or a
     bucket within ``probe_bits`` flips — multi-probe LSH); exact cosine
     re-ranks within candidates. One equi-join on bucket instead of a cross
