@@ -484,6 +484,25 @@ def _level_runner(argv: list[str]) -> None:
     scale_web, small_web = argv[2], argv[3]
     pair_4n = int(argv[4])  # the pair's BIG side, for plan sizing
     os.sched_setaffinity(0, set(range(cores)))  # before the JVM spawns
+    # CONTEMPORANEOUS box probe (round 5): this shared VM's host weather
+    # swings between rounds AND within one bench (observed: the Spark-free
+    # canonicalize kernel's 8→32 efficiency moved 0.56→0.78 between two
+    # idle-box runs hours apart, and a 5% steal window doubled the pair's
+    # 32-core task times). A ~6 s pinned run of that kernel HERE — before
+    # the JVM exists, same cores, same moment — records what the box
+    # itself could do at this width right now; run_pair divides the
+    # measured pair efficiency by the box's own contemporaneous ratio so
+    # the engine's share is separable from the environment's, per launch,
+    # in the recorded artifact. Fork-safety: must run before the JVM.
+    canon_rate = None
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import scaling_probe
+        canon_rate = scaling_probe.run(scaling_probe._canon_worker, cores,
+                                       secs=6.0)
+    except Exception:
+        pass
     # identical physical plan on both sides: splits + shuffle partitions
     # sized for the 4N side (see _scan_split_bytes). 4 reducer WAVES per
     # core on the 4N side: at exactly one partition per core a single fat
@@ -503,9 +522,91 @@ def _level_runner(argv: list[str]) -> None:
         first = _max_job_id(spark) + 1
         r = frontier_level_throughput(spark, scale_web)
         r["jobs"] = _job_profile(spark, first)
+        if canon_rate:
+            r["canon_probe_per_sec"] = round(canon_rate, 1)
         out.append(r)
     spark.stop()
     print(json.dumps(out))
+
+
+def _launch(cores, k, web, pair_4n, small_web):
+    """One scaling-pair side in a SUBPROCESS pinned (sched_setaffinity) to
+    exactly ``cores`` hardware CPUs before the JVM spawns, so the side's
+    JVM task threads AND its python UDF workers share that budget — the
+    local-mode analog of an N-core vs 4N-core cluster. Unpinned local[N]
+    lets python workers overflow onto extra cores, silently inflating the
+    small side (measured: local[2] ran 1.6x faster than a true 2-cpu
+    budget). A miniature level inside the runner warms codegen/JIT first;
+    a pinned Spark-free canonicalize-kernel probe inside the runner
+    records the box's contemporaneous throughput at this width."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--level-runner", str(cores), str(k), web, small_web,
+         str(pair_4n)],
+        capture_output=True, text=True, timeout=1800)
+    return json.loads(_runner_output(out, f"level-runner[{cores}]"))
+
+
+def _run_pair(cores_n, cores_4n, web, deadline, small_web):
+    """ONE compute-dominated frontier level on identical input at N and
+    4N cores (north-rule two-cluster-size criterion). The sides are
+    INTERLEAVED (4N, N, 4N, N) so both sample the same environmental
+    windows — this is a shared VM, and an episodically noisy/stolen
+    stretch that hits only the last-scheduled side would otherwise bias
+    the ratio (observed: a late-bench degraded window turned a 0.9x pair
+    into 0.78). min over all of a side's runs is the estimator; per-run
+    box telemetry lands in the JSON. The deadline guard drops the second
+    round of launches, never the first. The 4N side gets 2 warm-capable
+    launches (its runs are cheap); the N side's single-run launches
+    dominate the budget."""
+    t_start = time.time()
+    runs_n, runs_4n = [], []
+    schedule = [(cores_4n, 2, runs_4n), (cores_n, 1, runs_n),
+                (cores_4n, 1, runs_4n), (cores_n, 1, runs_n)]
+    for i, (cores, k, sink) in enumerate(schedule):
+        if i >= 2 and time.time() - t_start > deadline:
+            break
+        sink.extend(_launch(cores, k, web, cores_4n, small_web))
+    fl_n = min(runs_n, key=lambda r: r["secs"])
+    fl_4n = min(runs_4n, key=lambda r: r["secs"])
+    eff = (fl_4n["throughput_urls_per_sec"]
+           / fl_n["throughput_urls_per_sec"]) / (cores_4n / cores_n)
+    # environment-separated ratio: each side's launch carried its own
+    # pinned Spark-free canonicalize-kernel probe; their ratio is what
+    # the BOX scaled by at those widths in those minutes. Dividing the
+    # measured pair efficiency by it isolates the engine's share from
+    # host weather (steal windows, noisy neighbors) — both raw and
+    # normalized numbers are recorded, labeled.
+    pr_n = fl_n.get("canon_probe_per_sec")
+    pr_4n = fl_4n.get("canon_probe_per_sec")
+    box_eff = (round((pr_4n / pr_n) / (cores_4n / cores_n), 3)
+               if pr_n and pr_4n else None)
+
+    def tele(rs):
+        return [{k: r[k] for k in ("box_busy_pct", "box_steal_pct")
+                 if k in r} for r in rs]
+
+    return {
+        "cores_n": cores_n, "cores_4n": cores_4n,
+        "level_candidates": fl_n["candidates"],
+        "throughput_n": fl_n["throughput_urls_per_sec"],
+        "throughput_4n": fl_4n["throughput_urls_per_sec"],
+        "secs_n": fl_n["secs"], "secs_4n": fl_4n["secs"],
+        "all_run_secs_n": [r["secs"] for r in runs_n],
+        "all_run_secs_4n": [r["secs"] for r in runs_4n],
+        "telemetry_n": tele(runs_n), "telemetry_4n": tele(runs_4n),
+        "efficiency": round(eff, 3),
+        "canon_probe_n": pr_n, "canon_probe_4n": pr_4n,
+        "box_eff_contemporaneous": box_eff,
+        "efficiency_vs_box": (round(eff / box_eff, 3)
+                              if box_eff else None),
+        # per-job wall/cpu/gc profile of each side's MIN run — the
+        # recorded artifact a reader uses to attribute any scaling gap
+        # to a named stage (VERDICT r4 item 1)
+        "jobs_n": fl_n.get("jobs", []),
+        "jobs_4n": fl_4n.get("jobs", []),
+    }
 
 
 def _runner_output(proc, what: str) -> str:
@@ -584,65 +685,8 @@ def main() -> None:
                       cores=CPUS)
     spark.stop()
 
-    def launch(cores, k, web, pair_4n):
-        # One side runs in a SUBPROCESS pinned (sched_setaffinity) to
-        # exactly ``cores`` hardware CPUs before the JVM spawns, so the
-        # side's JVM task threads AND its python UDF workers share that
-        # budget — the local-mode analog of an N-core vs 4N-core
-        # cluster. Unpinned local[N] lets python workers overflow onto
-        # extra cores, silently inflating the small side (measured:
-        # local[2] ran 1.6x faster than a true 2-cpu budget). A
-        # miniature level inside the runner warms codegen/JIT first.
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--level-runner", str(cores), str(k), web, web_path,
-             str(pair_4n)],
-            capture_output=True, text=True, timeout=1800)
-        return json.loads(_runner_output(out, f"level-runner[{cores}]"))
-
     def run_pair(cores_n, cores_4n, web, deadline):
-        # ONE compute-dominated frontier level on identical input at N and
-        # 4N cores (north-rule two-cluster-size criterion). The sides are
-        # INTERLEAVED (4N, N, 4N, N) so both sample the same environmental
-        # windows — this is a shared VM, and an episodically noisy/stolen
-        # stretch that hits only the last-scheduled side would otherwise
-        # bias the ratio (observed: a late-bench degraded window turned a
-        # 0.9x pair into 0.78). min over all of a side's runs is the
-        # estimator; per-run box telemetry lands in the JSON. The deadline
-        # guard drops the second round of launches, never the first. The
-        # 4N side gets 2 warm-capable launches (its runs are cheap); the N
-        # side's single-run launches dominate the budget.
-        t_start = time.time()
-        runs_n, runs_4n = [], []
-        schedule = [(cores_4n, 2, runs_4n), (cores_n, 1, runs_n),
-                    (cores_4n, 1, runs_4n), (cores_n, 1, runs_n)]
-        for i, (cores, k, sink) in enumerate(schedule):
-            if i >= 2 and time.time() - t_start > deadline:
-                break
-            sink.extend(launch(cores, k, web, cores_4n))
-        fl_n = min(runs_n, key=lambda r: r["secs"])
-        fl_4n = min(runs_4n, key=lambda r: r["secs"])
-        eff = (fl_4n["throughput_urls_per_sec"]
-               / fl_n["throughput_urls_per_sec"]) / (cores_4n / cores_n)
-        tele = lambda rs: [{k: r[k] for k in ("box_busy_pct",
-                                              "box_steal_pct") if k in r}
-                           for r in rs]
-        return {
-            "cores_n": cores_n, "cores_4n": cores_4n,
-            "level_candidates": fl_n["candidates"],
-            "throughput_n": fl_n["throughput_urls_per_sec"],
-            "throughput_4n": fl_4n["throughput_urls_per_sec"],
-            "secs_n": fl_n["secs"], "secs_4n": fl_4n["secs"],
-            "all_run_secs_n": [r["secs"] for r in runs_n],
-            "all_run_secs_4n": [r["secs"] for r in runs_4n],
-            "telemetry_n": tele(runs_n), "telemetry_4n": tele(runs_4n),
-            "efficiency": round(eff, 3),
-            # per-job wall/cpu/gc profile of each side's MIN run — the
-            # recorded artifact a reader uses to attribute any scaling gap
-            # to a named stage (VERDICT r4 item 1)
-            "jobs_n": fl_n.get("jobs", []),
-            "jobs_4n": fl_4n.get("jobs", []),
-        }
+        return _run_pair(cores_n, cores_4n, web, deadline, web_path)
 
     scaling, scaling_8_32, box_probe = {}, {}, {}
     if not quick:
@@ -743,6 +787,12 @@ def main() -> None:
             "throughput_urls_per_sec"),
         "efficiency_1_4": scaling.get("efficiency"),
         "efficiency_8_32": scaling_8_32.get("efficiency"),
+        # measured eff ÷ the box's own contemporaneous (in-launch, pinned,
+        # Spark-free canonicalize-kernel) scaling ratio — the engine's
+        # share with host weather divided out
+        "efficiency_8_32_vs_box": scaling_8_32.get("efficiency_vs_box"),
+        "box_eff_8_32_contemporaneous": scaling_8_32.get(
+            "box_eff_contemporaneous"),
         # this box's own 8→32 ceilings (Spark-free probe): the pair above
         # is bounded by them, not by the engine
         "box_canon_eff": box_probe.get(
