@@ -526,6 +526,28 @@ def _level_runner(argv: list[str]) -> None:
             r["canon_probe_per_sec"] = round(canon_rate, 1)
         out.append(r)
     spark.stop()
+    # post-run probe: the pre-probe alone missed a throttle window that
+    # began AFTER it (observed: probes 11% apart, the timed runs 2× apart
+    # — host degradation mid-launch). A second sample after the timed runs
+    # brackets the window; run_pair referees with each side's MIN probe.
+    # A fresh subprocess, not a fork: the driver still carries py4j
+    # threads after spark.stop(), and forking a threaded process can
+    # deadlock in the child.
+    canon_post = None
+    try:
+        import subprocess
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", "scaling_probe.py")
+        p = subprocess.run([sys.executable, probe, "--canon", str(cores),
+                            "6"], capture_output=True, text=True,
+                           timeout=60)
+        if p.returncode == 0:
+            canon_post = float(p.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    if canon_post:
+        for r in out:
+            r["canon_probe_post_per_sec"] = canon_post
     print(json.dumps(out))
 
 
@@ -578,13 +600,25 @@ def _run_pair(cores_n, cores_4n, web, deadline, small_web):
     # measured pair efficiency by it isolates the engine's share from
     # host weather (steal windows, noisy neighbors) — both raw and
     # normalized numbers are recorded, labeled.
-    pr_n = fl_n.get("canon_probe_per_sec")
-    pr_4n = fl_4n.get("canon_probe_per_sec")
+    def side_probe(r):
+        # MIN of the launch's pre-JVM and post-run probes: a throttle or
+        # steal window that begins after the pre-probe (observed: probes
+        # 11% apart while the timed runs sat 2× apart) is caught by the
+        # post sample, and min is the conservative referee — it can only
+        # under-credit the box, never excuse the engine.
+        vals = [v for v in (r.get("canon_probe_per_sec"),
+                            r.get("canon_probe_post_per_sec")) if v]
+        return min(vals) if vals else None
+
+    pr_n = side_probe(fl_n)
+    pr_4n = side_probe(fl_4n)
     box_eff = (round((pr_4n / pr_n) / (cores_4n / cores_n), 3)
                if pr_n and pr_4n else None)
 
     def tele(rs):
-        return [{k: r[k] for k in ("box_busy_pct", "box_steal_pct")
+        return [{k: r[k] for k in ("box_busy_pct", "box_steal_pct",
+                                   "canon_probe_per_sec",
+                                   "canon_probe_post_per_sec")
                  if k in r} for r in rs]
 
     return {

@@ -80,6 +80,14 @@ def run(worker, k: int, secs: float = 12.0) -> float:
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    if sys.argv[1:2] == ["--canon"]:
+        # single canon-rate sample for bench.py's post-run contemporaneous
+        # probe: a fresh subprocess (not a fork of the Spark driver, which
+        # still carries py4j threads after spark.stop()) pinned by the
+        # inherited affinity mask. Prints ONE number.
+        k, secs = int(sys.argv[2]), float(sys.argv[3])
+        print(round(run(_canon_worker, k, secs=secs), 1))
+        return
     ks = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
     res = {"ks": ks, "canon_per_sec": {}, "alu_per_sec": {}}
     for k in ks:

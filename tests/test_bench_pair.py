@@ -60,6 +60,28 @@ def test_min_run_efficiency_and_box_normalization(monkeypatch):
     assert r["jobs_n"] and r["jobs_4n"]
 
 
+def test_post_probe_min_catches_mid_launch_degradation(monkeypatch):
+    # the 4N launch's box degraded AFTER its pre-probe (pre 1600k, post
+    # 1200k): the referee must use the MIN, crediting the box with only
+    # what it could still do during the timed window
+    _stub_launch(monkeypatch, {
+        8: [_fake_run(200, 100_000, probe=400_000.0,
+                      canon_probe_post_per_sec=410_000.0)],
+        32: [_fake_run(90, 300_000, probe=1_600_000.0,
+                       canon_probe_post_per_sec=1_200_000.0),
+             _fake_run(95, 280_000, probe=1_600_000.0,
+                       canon_probe_post_per_sec=1_200_000.0)],
+    })
+    r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw")
+    # N side: min(400k, 410k) = 400k; 4N side: min(1600k, 1200k) = 1200k
+    assert r["canon_probe_n"] == 400_000.0
+    assert r["canon_probe_4n"] == 1_200_000.0
+    assert r["box_eff_contemporaneous"] == 0.75  # (1200/400)/4
+    # both probes visible per run for the reader
+    assert r["telemetry_4n"][0]["canon_probe_per_sec"] == 1_600_000.0
+    assert r["telemetry_4n"][0]["canon_probe_post_per_sec"] == 1_200_000.0
+
+
 def test_missing_probe_leaves_box_fields_none(monkeypatch):
     # a launch where the probe import failed (canon_rate None) must not
     # break the pair — raw efficiency recorded, normalized fields None
