@@ -535,14 +535,22 @@ class _SelectorExtractor(HTMLParser):
     def _implied_end(self, tag: str) -> None:
         rule = _IMPLIED_SIBLINGS.get(tag)
         if rule:
+            # Re-run the scan after each pop (ADVICE r5): a <tr> arriving
+            # over [table, tr, td] must close BOTH the td and the tr —
+            # popping only the topmost closee nests the new row inside the
+            # old one, diverging from net/html on end-tag-omitting tables.
             closees, boundary = rule
-            for si in range(len(self.stack) - 1, -1, -1):
-                t = self.stack[si][0]
-                if t in closees:
-                    self._pop_to(si)
-                    break
-                if t in boundary:
-                    break
+            popped = True
+            while popped:
+                popped = False
+                for si in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[si][0]
+                    if t in closees:
+                        self._pop_to(si)
+                        popped = True
+                        break
+                    if t in boundary:
+                        break
         if tag in _P_CLOSERS:
             for si in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[si][0]

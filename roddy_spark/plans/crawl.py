@@ -49,16 +49,16 @@ from roddy_spark.operators.rank import release_rank_caches
 PRIORITY_PAGING = 0
 PRIORITY_CHILD = 1
 
-# Cap on the per-batch set-cookie delta that rides the fetches write as an
-# Observation metric (VERDICT r4 item 4): sliced to cap+1 so driver
-# traffic stays bounded for any batch size; an overflowing batch (sentinel
-# present) falls back to the grouped-collect job the fold replaced.
-MAX_COOKIE_UPDATE_ROWS = 100_000
-# Same pattern for the visited-bloom delta: small/medium batches merge
-# their url_hash delta from a SLICED collect_list riding the visited write
-# (≤ ~8 MB driver traffic); a batch over the cap falls back to the
-# distributed per-shard bitmap build (one bounded job) — the path that was
-# previously paid on EVERY batch.
+# Cap on the per-batch url_hash delta the driver materializes for the
+# visited-bloom merge. Only the admitted COUNT rides the visited write as
+# an Observation metric — a sliced collect_list would NOT bound transfer,
+# because slice() is a result expression applied AFTER CollectMetrics
+# aggregation: each task still ships its full partial buffer (ADVICE r5).
+# In-cap batches pay one bounded column-pruned collect over the
+# just-written snapshot (≤ cap × 8 B); over-cap batches take the
+# distributed per-shard bitmap build, whose driver footprint is one shard
+# bitmap regardless of batch size. Cookie write-back needs no cap at all:
+# the grouped-collect is bounded by the distinct-host count.
 MAX_BLOOM_DELTA_HASHES = 1_000_000
 
 # Hook detach semantics (reference: roddy.go:404-422 On*Detach +
@@ -605,13 +605,6 @@ class Crawler:
                 obs_adm = Observation(f"adm_{batch}")
                 adm_metrics = [F.count(F.lit(1)).alias("n"),
                                _row_bytes_agg(admitted).alias("bytes")]
-                if bloom is not None:
-                    # bloom delta rides the visited write, sliced to the
-                    # cap (bounded driver traffic; overflow → distributed
-                    # per-shard build below) — no per-batch delta job
-                    adm_metrics.append(F.slice(
-                        F.collect_list("url_hash"), 1,
-                        MAX_BLOOM_DELTA_HASHES + 1).alias("hashes"))
                 store.write_visited(
                     admitted.observe(obs_adm, *adm_metrics)
                     .withColumn("batch", F.lit(batch)), batch)
@@ -624,11 +617,15 @@ class Crawler:
                     bloom = self._build_bloom(store.read_visited(spark))
                 elif bloom is not None and n_admitted:
                     # per-micro-batch delta merge (north rule's cuckoo/
-                    # bloom delta-merge): driver-list add for in-cap
-                    # batches, distributed per-shard bitmap build + shard-
-                    # wise OR for over-cap ones
-                    hashes = obs_adm.get["hashes"]
-                    if len(hashes) > MAX_BLOOM_DELTA_HASHES:
+                    # bloom delta-merge), routed by the COUNT that rode the
+                    # write. An Observation collect_list — even sliced —
+                    # would ship every task's full partial buffer before
+                    # the slice (ADVICE r5), so in-cap batches instead pay
+                    # one bounded column-pruned job over the just-written
+                    # snapshot (url_hash only, ≤ cap × 8 B), and over-cap
+                    # batches never move hashes to the driver at all —
+                    # distributed per-shard bitmap build + shard-wise OR.
+                    if n_admitted > MAX_BLOOM_DELTA_HASHES:
                         from roddy_spark.operators.dedup import \
                             sharded_bloom_from_hashes_df
                         bloom.merge(sharded_bloom_from_hashes_df(
@@ -636,7 +633,9 @@ class Crawler:
                             n_shards=bloom.n_shards))
                     else:
                         import numpy as np
-                        bloom.add(np.asarray(hashes, dtype=np.int64))
+                        rows = admitted.select("url_hash").collect()
+                        bloom.add(np.asarray([r[0] for r in rows],
+                                             dtype=np.int64))
             else:
                 admitted = _empty_visited(spark)
                 n_admitted = 0
@@ -710,17 +709,14 @@ class Crawler:
                        & F.col("success")).cast("long")).alias("paging")]
             has_cookies = "set_cookie" in fetched.columns
             if has_cookies:
-                # cookie write-back delta rides the fetches write (VERDICT
-                # r4 item 4) — collect_list skips the null struct for rows
-                # without a set-cookie; sliced to cap+1 so driver traffic
-                # is bounded at any batch size (overflow → grouped-collect
-                # fallback below)
-                f_metrics.append(F.slice(F.collect_list(
-                    F.when(F.col("set_cookie").isNotNull(), F.struct(
-                        U.host_of("url_norm").alias("host"),
-                        F.col("set_cookie").alias("cookie"),
-                        F.col("seq").alias("seq")))),
-                    1, MAX_COOKIE_UPDATE_ROWS + 1).alias("cookie_updates"))
+                # only the set-cookie COUNT rides the fetches write: a
+                # collect_list metric — even sliced — would still ship each
+                # task's full partial buffer to the driver before the slice
+                # (ADVICE r5). Batches with any set-cookie rows pay one
+                # host-bounded grouped-collect job below instead.
+                f_metrics.append(
+                    F.sum(F.col("set_cookie").isNotNull().cast("long"))
+                    .alias("n_set_cookie"))
             fetched = fetched.observe(obs_f, *f_metrics)
             # fetches feed the HTML-parse stage next — SMALL batches are
             # narrowed to a data-sized width (AQE would otherwise coalesce
@@ -747,31 +743,24 @@ class Crawler:
 
             # 3b2. cookie write-back (K3, storage/storage.go:92-131):
             # set-cookie responses update the jar (last writer per host by
-            # seq) and the jar is persisted for resume. The delta rode the
-            # fetches write as an Observation (no extra job); only an
-            # over-cap batch pays the grouped-collect fallback.
-            if has_cookies:
-                updates = list(obs_f.get["cookie_updates"] or [])
-                if len(updates) > MAX_COOKIE_UPDATE_ROWS:
-                    updates = (fetched
-                               .filter(F.col("set_cookie").isNotNull())
-                               .groupBy(U.host_of("url_norm").alias("host"))
-                               .agg(F.max_by("set_cookie", "seq")
-                                    .alias("cookie"))
-                               .withColumn("seq", F.lit(0)).collect())
-                # last writer per host by seq, reduced driver-side
-                best: dict = {}
-                for r in updates:
-                    if r["host"] not in best or r["seq"] >= \
-                            best[r["host"]][1]:
-                        best[r["host"]] = (r["cookie"], r["seq"])
-                if best:
-                    self.cookies.update(
-                        {h: c for h, (c, _) in best.items()})
-                if self.cookies:
-                    store.write(spark.createDataFrame(
-                        list(self.cookies.items()),
-                        "host string, cookie string"), "cookies", batch)
+            # seq) and the jar is persisted for resume. The set-cookie
+            # COUNT rode the fetches write; batches without any (the
+            # common case) skip this entirely, and batches with some pay
+            # ONE grouped-collect over the persisted fetches snapshot —
+            # driver traffic is bounded by the distinct-HOST count (the
+            # jar's own size), never by batch rows (ADVICE r5).
+            if has_cookies and int(obs_f.get["n_set_cookie"] or 0):
+                updates = (fetched
+                           .filter(F.col("set_cookie").isNotNull())
+                           .groupBy(U.host_of("url_norm").alias("host"))
+                           .agg(F.max_by("set_cookie", "seq")
+                                .alias("cookie"))
+                           .collect())
+                self.cookies.update(
+                    {r["host"]: r["cookie"] for r in updates})
+                store.write(spark.createDataFrame(
+                    list(self.cookies.items()),
+                    "host string, cookie string"), "cookies", batch)
 
             # 3b3. user-selector element rows (S4 generality): reads the
             # persisted fetches snapshot — nothing is refetched/reparsed

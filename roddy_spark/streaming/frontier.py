@@ -24,13 +24,16 @@ tests/test_streaming_frontier.py). The earlier design ranked by
 ``monotonically_increasing_id`` — partition-layout-dependent, exactly what
 SURVEY.md §7.4.2 forbids.
 
-Scale path (VERDICT r2/r3): the intake holds the same delta-merged
-``ShardedBloom`` the batch loop carries — bloom-negative candidates skip
-the exact anti-join against the full visited store — and BOTH the
-per-epoch admitted count AND the filter's per-epoch hash delta ride on the
-visited write as ``Observation`` metrics: no separate count job and no
-re-read of the just-written batch. At 10^10 visited rows with frequent
-small intake batches, those were the intake's cost center.
+Scale path (VERDICT r2/r3, ADVICE r5): the intake holds the same
+delta-merged ``ShardedBloom`` the batch loop carries — bloom-negative
+candidates skip the exact anti-join against the full visited store — and
+the per-epoch admitted count rides on the visited write as an
+``Observation`` metric (no separate count job). The bloom's hash delta is
+then fetched by a count-routed bounded job: in-cap epochs collect only the
+url_hash column of the just-written batch (≤ cap × 8 B); over-cap epochs
+use the distributed per-shard bitmap build. At 10^10 visited rows with
+frequent small intake batches, counts and deltas were the intake's cost
+center.
 
 Reference analog: roddy's queue wake-on-add loop (queue/queue.go:140-189)
 — items added while the crawl runs are picked up continuously; here the
@@ -66,14 +69,17 @@ INTAKE_SCHEMA = StructType([
 # function of the ingested FILES only
 _ORDER_COLS = ("priority", "__src_file", "__src_ridx")
 
-# Cap on the per-epoch hash delta shipped through the driver as an
-# Observation metric (VERDICT r4 item 8): the collect_list rides the
-# visited write SLICED to cap+1 elements, so driver traffic is bounded at
-# ~8 B × cap (≈8 MB) no matter how oversized the stream trigger is. An
-# epoch that overflows the cap (the +1 sentinel) falls back to the
-# DISTRIBUTED per-shard bitmap build over the just-written batch
-# (sharded_bloom_from_hashes_df) — one extra bounded job on exactly the
-# epochs where the fold-into-write shortcut would have been the hazard.
+# Cap on the per-epoch hash delta the driver materializes for the bloom
+# merge. Only the COUNT rides the visited write as an Observation metric —
+# a sliced collect_list would NOT bound transfer, because slice() is a
+# result expression applied AFTER CollectMetrics aggregation: every task
+# still ships its full partial buffer and the driver merges the whole
+# delta before the slice runs (ADVICE r5). Instead, an in-cap epoch pays
+# one extra column-pruned job over the just-written batch (url_hash only,
+# ≤ ~8 B × cap ≈ 8 MB collected); an over-cap epoch never moves hashes to
+# the driver at all — it takes the DISTRIBUTED per-shard bitmap build
+# (sharded_bloom_from_hashes_df), whose driver footprint is one shard
+# bitmap regardless of epoch size.
 MAX_EPOCH_HASHES = 1_000_000
 
 
@@ -133,41 +139,33 @@ class FrontierIngest:
                          admitted_so_far=self._admitted_total,
                          order_cols=_ORDER_COLS)
         batch_no = int(epoch_id) + 1
-        # admitted count rides on the write (no separate count job). When
-        # the filter is live, the batch's url_hash values ride along too
-        # (collect_list metric) so the per-epoch bloom delta-merge is
-        # FOLDED INTO the write pass — no re-read of the just-written batch,
-        # no extra job (VERDICT r3 item 5). Driver traffic is 8 B/hash ×
-        # micro-batch rows, bounded by the stream trigger
-        # (maxFilesPerTrigger / maxBytesPerTrigger), NOT by the visited-set
-        # size — the batch loop's full-delta rebuild path
-        # (sharded_bloom_from_hashes_df) remains the tool for unbounded
-        # inputs such as the resume-time rebuild below.
+        # only the admitted COUNT rides on the write (no separate count
+        # job, and nothing unbounded crosses to the driver — ADVICE r5:
+        # a sliced collect_list metric would still ship every task's full
+        # partial buffer before the slice). The bloom delta-merge then
+        # routes by that count: in-cap epochs fetch the url_hash column
+        # with one bounded column-pruned job over the just-written batch;
+        # over-cap epochs go straight to the distributed per-shard build.
         obs = Observation(f"intake_{batch_no}")
-        metrics = [F.count(F.lit(1)).alias("n")]
-        delta_rides_on_write = self._bloom is not None
-        if delta_rides_on_write:
-            # sliced to the guard cap + 1 sentinel element: bounds driver
-            # traffic for ANY trigger size (VERDICT r4 item 8)
-            metrics.append(F.slice(F.collect_list("url_hash"), 1,
-                                   MAX_EPOCH_HASHES + 1).alias("hashes"))
         self.store.write_visited(
-            admitted.observe(obs, *metrics)
+            admitted.observe(obs, F.count(F.lit(1)).alias("n"))
             .withColumn("batch", F.lit(batch_no)), batch_no)
         release_rank_caches()
         n = int(obs.get["n"])
         self._admitted_total += n
         if self._bloom is None and self._bloom_active(self._admitted_total):
             self._bloom = self._build_bloom(self.store.read_visited(spark))
-        elif delta_rides_on_write and n:
-            hashes = obs.get["hashes"]
-            if len(hashes) > MAX_EPOCH_HASHES:
+        elif self._bloom is not None and n:
+            if n > MAX_EPOCH_HASHES:
                 # oversized epoch: distributed full-delta rebuild over the
-                # just-written batch instead of an unbounded driver list
+                # just-written batch — no hash list ever reaches the driver
                 self._merge_delta_distributed(batch_no)
             else:
                 import numpy as np
-                self._bloom.add(np.asarray(hashes, dtype=np.int64))
+                rows = (self.store.read_visited(spark, batch_no)
+                        .select("url_hash").collect())
+                self._bloom.add(np.asarray([r[0] for r in rows],
+                                           dtype=np.int64))
         self.store.commit_manifest({
             "completed_batch": batch_no,
             "admitted_count": self._admitted_total,

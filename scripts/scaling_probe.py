@@ -71,7 +71,25 @@ def run(worker, k: int, secs: float = 12.0) -> float:
     procs = [mp.Process(target=worker, args=(i, secs, q)) for i in range(k)]
     for p in procs:
         p.start()
-    rates = [q.get() for _ in procs]
+    # A worker that dies before putting (e.g. an import failure inside
+    # _canon_worker) must surface as an error, not a forever-blocked
+    # q.get() stalling bench's launch until its subprocess timeout
+    # (ADVICE r5): bound each get well past the measurement window and
+    # report which workers died and how.
+    rates = []
+    for _ in procs:
+        try:
+            rates.append(q.get(timeout=secs * 3 + 30))
+        except Exception:
+            break
+    if len(rates) < len(procs):
+        dead = [(p.pid, p.exitcode) for p in procs if p.exitcode not in
+                (0, None)]
+        for p in procs:
+            p.terminate()
+        raise RuntimeError(
+            f"probe workers failed: got {len(rates)}/{len(procs)} results, "
+            f"dead (pid, exitcode): {dead}")
     for p in procs:
         p.join()
     return sum(rates)

@@ -103,3 +103,49 @@ def test_spark_matches_oracle(spark, web_fixture, tmp_path, name):
         over = (fetches.groupBy("batch", "host").count()
                 .filter(F.col("count") > config.per_host_budget).count())
         assert over == 0
+
+
+def test_batch_overcap_bloom_delta_uses_distributed_build(
+        spark, web_fixture, tmp_path, monkeypatch):
+    """ADVICE r5: the batch loop's over-cap bloom path. With
+    MAX_BLOOM_DELTA_HASHES forced tiny, every batch whose admitted count
+    exceeds the cap must delta-merge via the distributed per-shard bitmap
+    build (never a driver-side hash collect), and the crawl must stay
+    oracle-identical with every admitted hash bloom-positive."""
+    import numpy as np
+
+    import roddy_spark.operators.dedup as DD
+    import roddy_spark.plans.crawl as CR
+
+    monkeypatch.setattr(CR, "MAX_BLOOM_DELTA_HASHES", 2)
+    calls = []
+    real = DD.sharded_bloom_from_hashes_df
+
+    def spy(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    # crawl.py imports the symbol from operators.dedup at call time
+    monkeypatch.setattr(DD, "sharded_bloom_from_hashes_df", spy)
+
+    pages_dict, pages_df, robots = web_fixture
+    config = CrawlConfig(max_depth=3, bloom_mode="on",
+                         bloom_capacity=1 << 16)
+    seeds = ["http://h0.test/"]
+    expected = crawl_oracle(pages_dict, seeds, config,
+                            robots_rows=list(zip(
+                                robots_pandas(WEB)["host"],
+                                robots_pandas(WEB)["robots_txt"])))
+    crawler = Crawler(spark, config, pages_df,
+                      str(tmp_path / "ckpt_overcap"), robots_map=robots)
+    state = crawler.run(seeds)
+
+    assert calls, "over-cap batches never took the distributed bloom build"
+    # a wrong delta-merge could only surface as wrong dedup decisions —
+    # exact (url, depth, seq) equality with the oracle rules that out
+    got = [(r["url_norm"], r["depth"], r["seq"]) for r in
+           state.visited(spark).orderBy("seq").collect()]
+    exp = [(u, d, s) for u, d, s, _ in
+           sorted(expected.admitted, key=lambda a: a[2])]
+    assert got == exp
+    assert len(np.unique([g[2] for g in got])) == len(got)

@@ -132,6 +132,26 @@ def test_implied_end_tags_siblings_not_nested():
             _rows("li > i", "<ul><li>a<ul><li><i>n</i></ul></ul>")] == ["n"]
 
 
+def test_implied_end_cascades_through_open_cells():
+    """ADVICE r5: a <tr> arriving over an open td must close BOTH the cell
+    and the row — popping only the topmost closee nests the new row inside
+    the old one, leaking row text across siblings and corrupting
+    child-combinator / nth-* results on end-tag-omitting tables."""
+    doc = "<table><tr><td>1<td>2<tr><td>3</table>"
+    assert [r["text"] for r in _rows("tr", doc)] == ["12", "3"]
+    assert _rows("tr > tr", doc) == []
+    assert [r["text"] for r in _rows("tr:nth-of-type(2)", doc)] == ["3"]
+    # tbody after an open tr/td closes the whole section, not just the cell
+    doc2 = "<table><tbody><tr><td>a<tbody><tr><td>b</table>"
+    assert [r["text"] for r in _rows("tbody", doc2)] == ["a", "b"]
+    assert _rows("tbody tbody", doc2) == []
+    # optgroup after an open option inside an optgroup closes both
+    doc3 = ("<select><optgroup label=g1><option>x"
+            "<optgroup label=g2><option>y</select>")
+    assert [r["text"] for r in _rows("optgroup", doc3)] == ["x", "y"]
+    assert _rows("optgroup optgroup", doc3) == []
+
+
 def test_parse_html_descriptions_implied_close():
     # '<p class=description>one<p>two' — the second p closes the first, so
     # 'two' must NOT leak into the description (same bug class, fixed in

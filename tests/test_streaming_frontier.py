@@ -214,10 +214,11 @@ def test_streaming_intake_resumes_fresh_instance(spark, tmp_path):
 
 def test_intake_oversized_epoch_uses_distributed_delta(spark, tmp_path,
                                                        monkeypatch):
-    """VERDICT r4 item 8: the per-epoch hash delta that rides the visited
-    write is SLICED to MAX_EPOCH_HASHES+1 — bounded driver traffic at any
-    trigger size — and an epoch that overflows the cap must delta-merge
-    via the distributed per-shard bitmap path, never an unbounded list."""
+    """VERDICT r4 item 8 / ADVICE r5: only the per-epoch COUNT rides the
+    visited write; an in-cap epoch fetches its hash delta with one bounded
+    column-pruned job, and an epoch that overflows MAX_EPOCH_HASHES must
+    delta-merge via the distributed per-shard bitmap path — no unbounded
+    hash list ever crosses to the driver."""
     import numpy as np
 
     import roddy_spark.streaming.frontier as FR
