@@ -24,6 +24,7 @@ import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 os.environ.setdefault("RODDY_DRIVER_MEM", "32g")  # caches+broadcasts live
@@ -142,6 +143,100 @@ def _cpu_delta(before):
             "box_iowait_pct": round(100 * d[4] / total, 1),
             "box_steal_pct": round(100 * d[7] / total, 1)
             if len(d) > 7 else 0.0}
+
+
+def _proc_tree_cpu() -> dict:
+    """Cumulative user+sys CPU seconds of this process's DESCENDANT tree,
+    split python-workers vs JVM (read from /proc/*/stat). The JVM stage
+    metrics alone cannot prove core-busy for pandas-UDF stages — the JVM
+    task threads park on the Arrow pipe while pyspark.daemon workers do the
+    compute (VERDICT r5 "what's wrong" #2) — so the bench samples the
+    workers' own CPU and records it next to the JVM job metrics."""
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        try:
+            lp = s.rindex(")")
+            comm = s[s.index("(") + 1:lp]
+            fields = s[lp + 2:].split()
+            procs[int(d)] = (int(fields[1]), comm,
+                             (int(fields[11]) + int(fields[12])) / clk)
+        except (ValueError, IndexError):
+            continue
+    children: dict = {}
+    for pid, (ppid, _, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    out = {"py": 0.0, "jvm": 0.0}
+    stack = list(children.get(me, []))
+    seen = set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        _, comm, cpu = procs[p]
+        if comm == "java":
+            out["jvm"] += cpu
+        elif comm.startswith("python"):
+            out["py"] += cpu
+        stack.extend(children.get(p, []))
+    return out
+
+
+class _CpuTreeSampler(threading.Thread):
+    """Background sampler of the descendant-tree CPU split: a time series of
+    (epoch, py_cum, jvm_cum) at ~1 Hz, so per-job python-worker CPU can be
+    attributed post-hoc from the jobs' submission/completion timestamps.
+    Cumulative values are kept monotone (a reaped worker's CPU would
+    otherwise vanish from the sum between samples)."""
+
+    def __init__(self, interval: float = 1.0):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.series: list[tuple[float, float, float]] = []
+        self._stop = threading.Event()
+        self._max_py = self._max_jvm = 0.0
+
+    def sample(self) -> tuple[float, float, float]:
+        c = _proc_tree_cpu()
+        self._max_py = max(self._max_py, c["py"])
+        self._max_jvm = max(self._max_jvm, c["jvm"])
+        pt = (time.time(), self._max_py, self._max_jvm)
+        self.series.append(pt)
+        return pt
+
+    def run(self):
+        while not self._stop.is_set():
+            try:
+                self.sample()
+            except Exception:
+                pass
+            self._stop.wait(self.interval)
+
+    def stop(self):
+        self._stop.set()
+
+
+def _series_at(series, t, idx):
+    """Linear interpolation of the cumulative-CPU series at epoch ``t``
+    (clamped to the series' ends)."""
+    if not series:
+        return None
+    if t <= series[0][0]:
+        return series[0][idx]
+    for (t0, *v0), (t1, *v1) in zip(series, series[1:]):
+        if t0 <= t <= t1:
+            frac = (t - t0) / (t1 - t0) if t1 > t0 else 0.0
+            return v0[idx - 1] + frac * (v1[idx - 1] - v0[idx - 1])
+    return series[-1][idx]
 
 
 def warmup(spark, cores: int) -> None:
@@ -419,11 +514,16 @@ def _query_runner() -> None:
     print(json.dumps({"qtimes": qtimes, "telemetry": tele}))
 
 
-def _job_profile(spark, min_job_id: int) -> list[dict]:
+def _job_profile(spark, min_job_id: int,
+                 cpu_series: list | None = None) -> list[dict]:
     """Compact per-job wall-time attribution of the just-finished run, via
     the UI REST API: jobs with ≥1 s wall, ordered by cost. This is what
     lets a reader see WHICH stage stopped scaling in a recorded pair
-    (VERDICT r4 item 1) without re-running anything."""
+    (VERDICT r4 item 1) without re-running anything. When the runner's
+    CPU-tree sampler series is passed, each job row also carries the
+    python workers' and the JVM process's CPU seconds spent inside the
+    job's wall window (VERDICT r5 item 4 — the JVM stage metrics alone
+    can't prove core-busy for pandas-UDF stages)."""
     import datetime
     import urllib.request
 
@@ -431,7 +531,8 @@ def _job_profile(spark, min_job_id: int) -> list[dict]:
         if not s:
             return None
         return datetime.datetime.strptime(
-            s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f").timestamp()
+            s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f").replace(
+            tzinfo=datetime.timezone.utc).timestamp()
 
     try:
         base = (spark.sparkContext.uiWebUrl + "/api/v1/applications/"
@@ -458,11 +559,21 @@ def _job_profile(spark, min_job_id: int) -> list[dict]:
                 run_s += s.get("executorRunTime", 0) / 1000
                 cpu_s += s.get("executorCpuTime", 0) / 1e9
                 gc_s += s.get("jvmGcTime", 0) / 1000
-        out.append({"job": j["jobId"], "wall_s": wall,
-                    "exec_run_s": round(run_s, 1),
-                    "exec_cpu_s": round(cpu_s, 1),
-                    "gc_s": round(gc_s, 1),
-                    "name": (j.get("name") or "")[:80]})
+        row = {"job": j["jobId"], "wall_s": wall,
+               "exec_run_s": round(run_s, 1),
+               "exec_cpu_s": round(cpu_s, 1),
+               "gc_s": round(gc_s, 1),
+               "name": (j.get("name") or "")[:80]}
+        if cpu_series and sub and comp:
+            py0, py1 = (_series_at(cpu_series, sub, 1),
+                        _series_at(cpu_series, comp, 1))
+            jv0, jv1 = (_series_at(cpu_series, sub, 2),
+                        _series_at(cpu_series, comp, 2))
+            if py0 is not None and py1 is not None:
+                row["py_cpu_s"] = round(py1 - py0, 1)
+            if jv0 is not None and jv1 is not None:
+                row["jvm_proc_cpu_s"] = round(jv1 - jv0, 1)
+        out.append(row)
     return sorted(out, key=lambda d: -d["wall_s"])[:8]
 
 
@@ -515,16 +626,23 @@ def _level_runner(argv: list[str]) -> None:
                           shuffle_partitions=pair_4n * 4, ui=True)
     warm_level(spark, small_web)
     out = []
+    sampler = _CpuTreeSampler(interval=1.0)
+    sampler.start()
     for _ in range(runs):
         # drain the previous run's garbage OUTSIDE the timed window — a
         # major GC landing mid-run is the dominant outlier source
         spark._jvm.System.gc()
         first = _max_job_id(spark) + 1
+        _, py0, jvm0 = sampler.sample()  # exact boundary sample
         r = frontier_level_throughput(spark, scale_web)
-        r["jobs"] = _job_profile(spark, first)
+        _, py1, jvm1 = sampler.sample()
+        r["py_cpu_s"] = round(py1 - py0, 1)
+        r["jvm_proc_cpu_s"] = round(jvm1 - jvm0, 1)
+        r["jobs"] = _job_profile(spark, first, cpu_series=sampler.series)
         if canon_rate:
             r["canon_probe_per_sec"] = round(canon_rate, 1)
         out.append(r)
+    sampler.stop()
     spark.stop()
     # post-run probe: the pre-probe alone missed a throttle window that
     # began AFTER it (observed: probes 11% apart, the timed runs 2× apart
@@ -570,55 +688,81 @@ def _launch(cores, k, web, pair_4n, small_web):
     return json.loads(_runner_output(out, f"level-runner[{cores}]"))
 
 
-def _run_pair(cores_n, cores_4n, web, deadline, small_web):
+def _side_probe(r):
+    """MIN of a launch's pre-JVM and post-run canonicalize-kernel probes: a
+    throttle or steal window that begins after the pre-probe (observed:
+    probes 11% apart while the timed runs sat 2× apart) is caught by the
+    post sample, and min is the conservative referee — it can only
+    under-credit the box, never excuse the engine."""
+    vals = [v for v in (r.get("canon_probe_per_sec"),
+                        r.get("canon_probe_post_per_sec")) if v]
+    return min(vals) if vals else None
+
+
+def _run_pair(cores_n, cores_4n, web, deadline, small_web, reps=3):
     """ONE compute-dominated frontier level on identical input at N and
-    4N cores (north-rule two-cluster-size criterion). The sides are
-    INTERLEAVED (4N, N, 4N, N) so both sample the same environmental
-    windows — this is a shared VM, and an episodically noisy/stolen
-    stretch that hits only the last-scheduled side would otherwise bias
-    the ratio (observed: a late-bench degraded window turned a 0.9x pair
-    into 0.78). min over all of a side's runs is the estimator; per-run
-    box telemetry lands in the JSON. The deadline guard drops the second
-    round of launches, never the first. The 4N side gets 2 warm-capable
-    launches (its runs are cheap); the N side's single-run launches
-    dominate the budget."""
+    4N cores (north-rule two-cluster-size criterion), measured as
+    ADJACENT INTERLEAVED PAIRS: reps × (N launch, 4N launch) back-to-back
+    in time — A/B A/B A/B — each pair yielding its own efficiency
+    (VERDICT r5 item 1). Rationale: this is a shared VM whose weather
+    swings by 2× across tens of minutes (observed raw 8→32 efficiency
+    0.35→0.68 across four same-web runs in 90 min), so any estimator that
+    matches a side's best run against the OTHER side's best run from a
+    different window measures the weather delta, not the engine — and
+    the probe-normalized referee anti-correlated with wall time once.
+    Two runs a few minutes apart (one pair) sample nearly the same
+    window; the per-pair efficiencies' MEDIAN is the headline and their
+    full spread is recorded, so a reader sees repeatability instead of a
+    best-run narrative. The legacy cross-matched min-run estimator is
+    kept as ``efficiency_minmatch`` for continuity with r3–r5 artifacts.
+    The deadline guard drops later pairs, never the first."""
     t_start = time.time()
-    runs_n, runs_4n = [], []
-    schedule = [(cores_4n, 2, runs_4n), (cores_n, 1, runs_n),
-                (cores_4n, 1, runs_4n), (cores_n, 1, runs_n)]
-    for i, (cores, k, sink) in enumerate(schedule):
-        if i >= 2 and time.time() - t_start > deadline:
+    ratio = cores_4n / cores_n
+    runs_n, runs_4n, pairs = [], [], []
+    for rep in range(reps):
+        if rep >= 1 and time.time() - t_start > deadline:
             break
-        sink.extend(_launch(cores, k, web, cores_4n, small_web))
+        rn = _launch(cores_n, 1, web, cores_4n, small_web)
+        r4 = _launch(cores_4n, 1, web, cores_4n, small_web)
+        runs_n.extend(rn)
+        runs_4n.extend(r4)
+        if not (rn and r4):
+            continue
+        rn, r4 = rn[0], r4[0]
+        eff = (r4["throughput_urls_per_sec"]
+               / rn["throughput_urls_per_sec"]) / ratio
+        # environment-separated ratio per pair: each launch carried its
+        # own bracketed pinned Spark-free canonicalize-kernel probes;
+        # their min-ratio is what the BOX scaled by at those widths in
+        # those minutes. Raw and normalized are both recorded, labeled.
+        pn, p4 = _side_probe(rn), _side_probe(r4)
+        box = round((p4 / pn) / ratio, 3) if pn and p4 else None
+        pairs.append({
+            "secs_n": rn["secs"], "secs_4n": r4["secs"],
+            "throughput_n": rn["throughput_urls_per_sec"],
+            "throughput_4n": r4["throughput_urls_per_sec"],
+            "efficiency": round(eff, 3),
+            "box_eff": box,
+            "efficiency_vs_box": round(eff / box, 3) if box else None,
+        })
+    import statistics
     fl_n = min(runs_n, key=lambda r: r["secs"])
     fl_4n = min(runs_4n, key=lambda r: r["secs"])
-    eff = (fl_4n["throughput_urls_per_sec"]
-           / fl_n["throughput_urls_per_sec"]) / (cores_4n / cores_n)
-    # environment-separated ratio: each side's launch carried its own
-    # pinned Spark-free canonicalize-kernel probe; their ratio is what
-    # the BOX scaled by at those widths in those minutes. Dividing the
-    # measured pair efficiency by it isolates the engine's share from
-    # host weather (steal windows, noisy neighbors) — both raw and
-    # normalized numbers are recorded, labeled.
-    def side_probe(r):
-        # MIN of the launch's pre-JVM and post-run probes: a throttle or
-        # steal window that begins after the pre-probe (observed: probes
-        # 11% apart while the timed runs sat 2× apart) is caught by the
-        # post sample, and min is the conservative referee — it can only
-        # under-credit the box, never excuse the engine.
-        vals = [v for v in (r.get("canon_probe_per_sec"),
-                            r.get("canon_probe_post_per_sec")) if v]
-        return min(vals) if vals else None
-
-    pr_n = side_probe(fl_n)
-    pr_4n = side_probe(fl_4n)
-    box_eff = (round((pr_4n / pr_n) / (cores_4n / cores_n), 3)
-               if pr_n and pr_4n else None)
+    effs = [p["efficiency"] for p in pairs]
+    vs_box = [p["efficiency_vs_box"] for p in pairs
+              if p["efficiency_vs_box"] is not None]
+    boxes = [p["box_eff"] for p in pairs if p["box_eff"] is not None]
+    eff_med = round(statistics.median(effs), 3) if effs else None
+    # legacy estimator (r3–r5): best run of each side cross-matched —
+    # biased by whichever side's best landed in the better window
+    eff_minmatch = round((fl_4n["throughput_urls_per_sec"]
+                          / fl_n["throughput_urls_per_sec"]) / ratio, 3)
 
     def tele(rs):
         return [{k: r[k] for k in ("box_busy_pct", "box_steal_pct",
                                    "canon_probe_per_sec",
-                                   "canon_probe_post_per_sec")
+                                   "canon_probe_post_per_sec",
+                                   "py_cpu_s", "jvm_proc_cpu_s")
                  if k in r} for r in rs]
 
     return {
@@ -630,14 +774,24 @@ def _run_pair(cores_n, cores_4n, web, deadline, small_web):
         "all_run_secs_n": [r["secs"] for r in runs_n],
         "all_run_secs_4n": [r["secs"] for r in runs_4n],
         "telemetry_n": tele(runs_n), "telemetry_4n": tele(runs_4n),
-        "efficiency": round(eff, 3),
-        "canon_probe_n": pr_n, "canon_probe_4n": pr_4n,
-        "box_eff_contemporaneous": box_eff,
-        "efficiency_vs_box": (round(eff / box_eff, 3)
-                              if box_eff else None),
-        # per-job wall/cpu/gc profile of each side's MIN run — the
-        # recorded artifact a reader uses to attribute any scaling gap
-        # to a named stage (VERDICT r4 item 1)
+        # headline: MEDIAN of adjacent-pair efficiencies + full spread
+        "efficiency": eff_med,
+        "pairs": pairs,
+        "pair_efficiencies": effs,
+        "efficiency_spread": ([min(effs), max(effs)] if effs else None),
+        "efficiency_spread_pct": (
+            round(100 * (max(effs) - min(effs)) / eff_med, 1)
+            if effs and eff_med else None),
+        "efficiency_minmatch": eff_minmatch,
+        "canon_probe_n": _side_probe(fl_n),
+        "canon_probe_4n": _side_probe(fl_4n),
+        "box_eff_contemporaneous": (round(statistics.median(boxes), 3)
+                                    if boxes else None),
+        "efficiency_vs_box": (round(statistics.median(vs_box), 3)
+                              if vs_box else None),
+        # per-job wall/cpu/gc (+ sampled python-worker CPU) profile of
+        # each side's MIN run — the recorded artifact a reader uses to
+        # attribute any scaling gap to a named stage (VERDICT r4 item 1)
         "jobs_n": fl_n.get("jobs", []),
         "jobs_4n": fl_4n.get("jobs", []),
     }
@@ -719,8 +873,9 @@ def main() -> None:
                       cores=CPUS)
     spark.stop()
 
-    def run_pair(cores_n, cores_4n, web, deadline):
-        return _run_pair(cores_n, cores_4n, web, deadline, web_path)
+    def run_pair(cores_n, cores_4n, web, deadline, reps):
+        return _run_pair(cores_n, cores_4n, web, deadline, web_path,
+                         reps=reps)
 
     scaling, scaling_8_32, box_probe = {}, {}, {}
     if not quick:
@@ -754,18 +909,25 @@ def main() -> None:
         # coordination at all and flatters the ratio vs any multi-core
         # baseline; never compare the two numbers to each other.
         deadline = float(os.environ.get("RODDY_BENCH_DEADLINE_S", "1000"))
-        deadline2 = float(os.environ.get("RODDY_BENCH_DEADLINE2_S", "1200"))
+        deadline2 = float(os.environ.get("RODDY_BENCH_DEADLINE2_S", "1800"))
+        # pair A (1→4) is the RECORDED CRITERION pair (BENCH/BASELINE.md):
+        # 2 adjacent interleaved pairs (its N side's ~5-min single-core
+        # runs dominate the budget; it has repeated ≥0.89 for four
+        # rounds). Pair B (8→32) is attribution telemetry at production
+        # widths: 3 interleaved pairs so repeatability is in the artifact.
         scaling = run_pair(SCALE_CORES_N, SCALE_CORES_4N, scale_web_path,
-                           deadline)
+                           deadline, reps=2)
         scaling["baseline"] = (
             f"{SCALE_CORES_N}-core pinned baseline (driver-serial floor "
-            f"deweighted); web {SCALE_HOSTS}x{SCALE_PAGES}")
+            f"deweighted); web {SCALE_HOSTS}x{SCALE_PAGES}; criterion "
+            f"pair, interleaved adjacent A/B reps, median-of-pairs")
         scaling_8_32 = run_pair(SCALE2_CORES_N, SCALE2_CORES_4N,
-                                scale2_web_path, deadline2)
+                                scale2_web_path, deadline2, reps=3)
         scaling_8_32["baseline"] = (
             f"{SCALE2_CORES_N}-core pinned baseline (production-width "
             f"pair, floor amortized by a bigger level); web "
-            f"{SCALE2_HOSTS}x{SCALE2_PAGES}")
+            f"{SCALE2_HOSTS}x{SCALE2_PAGES}; attribution telemetry, "
+            f"interleaved adjacent A/B reps, median-of-pairs")
     r_4n = r_loop
     queries = {k: v for k, v in qtimes.items() if not k.endswith("_rows")}
 
@@ -820,7 +982,12 @@ def main() -> None:
         "level_full_urls_per_sec": (r_full or {}).get(
             "throughput_urls_per_sec"),
         "efficiency_1_4": scaling.get("efficiency"),
+        "efficiency_1_4_pairs": scaling.get("pair_efficiencies"),
         "efficiency_8_32": scaling_8_32.get("efficiency"),
+        # per-adjacent-pair raw efficiencies — repeatability is the point
+        "efficiency_8_32_pairs": scaling_8_32.get("pair_efficiencies"),
+        "efficiency_8_32_spread_pct": scaling_8_32.get(
+            "efficiency_spread_pct"),
         # measured eff ÷ the box's own contemporaneous (in-launch, pinned,
         # Spark-free canonicalize-kernel) scaling ratio — the engine's
         # share with host weather divided out

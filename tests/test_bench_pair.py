@@ -1,9 +1,12 @@
 """Spark-free tests for the bench scaling-pair estimator (bench._run_pair).
 
 The pair is the recorded evidence for the north rule's two-cluster-size
-criterion, so its arithmetic — min-run selection, efficiency, and the
-round-5 contemporaneous box-probe normalization — is pinned here with a
-stubbed _launch (no subprocesses, no JVM).
+criterion, so its arithmetic is pinned here with a stubbed _launch (no
+subprocesses, no JVM). Round 6 (VERDICT r5 item 1): the estimator is now
+ADJACENT INTERLEAVED PAIRS — reps × (N launch, 4N launch) back-to-back —
+with a per-pair efficiency, a median-of-pairs headline, the full spread
+recorded, and the legacy cross-matched min-run estimator kept as
+``efficiency_minmatch``.
 """
 import sys
 import os
@@ -25,89 +28,119 @@ def _fake_run(secs, urls_per_sec, probe=None, **extra):
     return r
 
 
-def _stub_launch(monkeypatch, sides):
-    """sides: {cores: [run, ...]} — each _launch(cores, k, ...) pops k runs."""
+def _stub_launch(monkeypatch, sides, order=None):
+    """sides: {cores: [run, ...]} — each _launch(cores, k, ...) pops k runs;
+    the launch order is appended to ``order`` when given."""
     def fake(cores, k, web, pair_4n, small_web):
-        out = [sides[cores].pop(0) for _ in range(min(k, len(sides[cores])))]
-        return out
+        if order is not None:
+            order.append(cores)
+        return [sides[cores].pop(0) for _ in range(min(k, len(sides[cores])))]
     monkeypatch.setattr(bench, "_launch", fake)
 
 
-def test_min_run_efficiency_and_box_normalization(monkeypatch):
-    # N=8 side: min secs 200 @ 100k urls/s, probe 400k
-    # 4N=32 side: min secs 90 @ 300k urls/s, probe 1200k
+def test_interleaved_pairs_median_and_spread(monkeypatch):
+    # three adjacent pairs with per-pair effs 0.75, 0.80, 0.70
     _stub_launch(monkeypatch, {
-        8: [_fake_run(230, 90_000, probe=410_000.0),
-            _fake_run(200, 100_000, probe=400_000.0)],
-        32: [_fake_run(120, 250_000, probe=1_100_000.0),
-             _fake_run(90, 300_000, probe=1_200_000.0),
-             _fake_run(95, 280_000, probe=1_150_000.0)],
-    })
+        8: [_fake_run(200, 100_000), _fake_run(210, 95_000),
+            _fake_run(190, 105_000)],
+        32: [_fake_run(90, 300_000), _fake_run(85, 304_000),
+             _fake_run(95, 294_000)],
+    }, order := [])
     r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw")
-    assert r["secs_n"] == 200 and r["secs_4n"] == 90
-    # eff = (300k/100k)/4 = 0.75, from the MIN run of each side
-    assert r["efficiency"] == 0.75
-    # box ratio from the MIN runs' probes: (1200k/400k)/4 = 0.75
-    assert r["box_eff_contemporaneous"] == 0.75
-    assert r["efficiency_vs_box"] == 1.0
-    assert r["canon_probe_n"] == 400_000.0
-    assert r["canon_probe_4n"] == 1_200_000.0
-    # every run's secs and telemetry are recorded, not just the min
-    assert r["all_run_secs_n"] == [230, 200]
-    assert r["all_run_secs_4n"] == [120, 90, 95]
+    # strict A/B A/B A/B interleaving, N first
+    assert order == [8, 32, 8, 32, 8, 32]
+    assert r["pair_efficiencies"] == [0.75, 0.8, 0.7]
+    assert r["efficiency"] == 0.75          # median of pairs
+    assert r["efficiency_spread"] == [0.7, 0.8]
+    assert r["efficiency_spread_pct"] == pytest.approx(13.3, abs=0.1)
+    # legacy estimator: best N run (190 s, 105k) vs best 4N run (85 s,
+    # 304k) — cross-window matched, recorded for r3–r5 continuity only
+    assert r["efficiency_minmatch"] == pytest.approx((304 / 105) / 4, abs=1e-3)
+    assert r["secs_n"] == 190 and r["secs_4n"] == 85
+    assert r["all_run_secs_n"] == [200, 210, 190]
+    assert r["all_run_secs_4n"] == [90, 85, 95]
     assert all("box_busy_pct" in t for t in r["telemetry_4n"])
-    # min run's job profile rides along for stage attribution
     assert r["jobs_n"] and r["jobs_4n"]
 
 
-def test_post_probe_min_catches_mid_launch_degradation(monkeypatch):
-    # the 4N launch's box degraded AFTER its pre-probe (pre 1600k, post
-    # 1200k): the referee must use the MIN, crediting the box with only
-    # what it could still do during the timed window
+def test_per_pair_box_normalization_uses_bracketed_min(monkeypatch):
+    # pair 1: N probe bracketed (pre 400k, post 380k → min 380k), 4N probe
+    # 1140k → box (1140/380)/4 = 0.75; raw eff 0.75 → vs_box 1.0
+    # pair 2: probes missing on the N side → that pair's vs_box is None
     _stub_launch(monkeypatch, {
         8: [_fake_run(200, 100_000, probe=400_000.0,
-                      canon_probe_post_per_sec=410_000.0)],
-        32: [_fake_run(90, 300_000, probe=1_600_000.0,
-                       canon_probe_post_per_sec=1_200_000.0),
-             _fake_run(95, 280_000, probe=1_600_000.0,
-                       canon_probe_post_per_sec=1_200_000.0)],
+                      canon_probe_post_per_sec=380_000.0),
+            _fake_run(200, 100_000)],
+        32: [_fake_run(90, 300_000, probe=1_140_000.0),
+             _fake_run(90, 300_000, probe=1_000_000.0)],
     })
-    r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw")
-    # N side: min(400k, 410k) = 400k; 4N side: min(1600k, 1200k) = 1200k
-    assert r["canon_probe_n"] == 400_000.0
-    assert r["canon_probe_4n"] == 1_200_000.0
-    assert r["box_eff_contemporaneous"] == 0.75  # (1200/400)/4
-    # both probes visible per run for the reader
-    assert r["telemetry_4n"][0]["canon_probe_per_sec"] == 1_600_000.0
-    assert r["telemetry_4n"][0]["canon_probe_post_per_sec"] == 1_200_000.0
+    r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw",
+                        reps=2)
+    assert r["pairs"][0]["box_eff"] == 0.75
+    assert r["pairs"][0]["efficiency_vs_box"] == 1.0
+    assert r["pairs"][1]["box_eff"] is None
+    assert r["pairs"][1]["efficiency_vs_box"] is None
+    # medians over the pairs that HAVE probes
+    assert r["box_eff_contemporaneous"] == 0.75
+    assert r["efficiency_vs_box"] == 1.0
 
 
-def test_missing_probe_leaves_box_fields_none(monkeypatch):
-    # a launch where the probe import failed (canon_rate None) must not
-    # break the pair — raw efficiency recorded, normalized fields None
+def test_all_probes_missing_leaves_box_fields_none(monkeypatch):
     _stub_launch(monkeypatch, {
         8: [_fake_run(200, 100_000)],
-        32: [_fake_run(100, 320_000, probe=1_000_000.0),
-             _fake_run(100, 320_000, probe=1_000_000.0)],
+        32: [_fake_run(100, 320_000)],
     })
-    r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw")
+    r = bench._run_pair(8, 32, "web", deadline=10_000, small_web="sw",
+                        reps=1)
     assert r["efficiency"] == 0.8
     assert r["box_eff_contemporaneous"] is None
     assert r["efficiency_vs_box"] is None
 
 
-def test_deadline_drops_second_round_only(monkeypatch):
-    # deadline already exceeded after the first two schedule items: the
-    # guard must still run them (one 2-run 4N launch + one N launch) and
-    # drop only the second round
+def test_deadline_drops_later_pairs_never_the_first(monkeypatch):
     _stub_launch(monkeypatch, {
-        8: [_fake_run(200, 100_000, probe=1.0),
-            _fake_run(150, 130_000, probe=1.0)],
-        32: [_fake_run(100, 300_000, probe=3.0),
-             _fake_run(95, 310_000, probe=3.0),
-             _fake_run(80, 400_000, probe=3.0)],
+        8: [_fake_run(200, 100_000), _fake_run(150, 130_000)],
+        32: [_fake_run(100, 300_000), _fake_run(80, 400_000)],
     })
     r = bench._run_pair(8, 32, "web", deadline=-1, small_web="sw")
-    assert r["all_run_secs_4n"] == [100, 95]  # first launch only (k=2)
-    assert r["all_run_secs_n"] == [200]       # first N launch only
-    assert r["efficiency"] == pytest.approx((310_000 / 100_000) / 4)
+    # only the first adjacent pair ran
+    assert r["all_run_secs_n"] == [200]
+    assert r["all_run_secs_4n"] == [100]
+    assert r["pair_efficiencies"] == [0.75]
+    assert r["efficiency"] == 0.75
+
+
+def test_cpu_series_interpolation():
+    # _series_at: cumulative (t, py, jvm) series, linear between samples
+    series = [(0.0, 0.0, 0.0), (10.0, 5.0, 20.0), (20.0, 15.0, 30.0)]
+    assert bench._series_at(series, 5.0, 1) == pytest.approx(2.5)
+    assert bench._series_at(series, 15.0, 1) == pytest.approx(10.0)
+    assert bench._series_at(series, 15.0, 2) == pytest.approx(25.0)
+    # clamped at both ends
+    assert bench._series_at(series, -5.0, 1) == 0.0
+    assert bench._series_at(series, 99.0, 2) == 30.0
+    assert bench._series_at([], 1.0, 1) is None
+
+
+def test_proc_tree_cpu_sees_python_child():
+    # spawn a child that burns ~0.3 s CPU; the tree sampler must see it
+    import subprocess
+    import time as _t
+    before = bench._proc_tree_cpu()["py"]
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import time\nt=time.process_time()\n"
+         "while time.process_time()-t<0.4: pass\n"
+         "time.sleep(5)"])
+    try:
+        deadline = _t.time() + 10
+        seen = 0.0
+        while _t.time() < deadline:
+            seen = bench._proc_tree_cpu()["py"] - before
+            if seen >= 0.3:
+                break
+            _t.sleep(0.2)
+        assert seen >= 0.3
+    finally:
+        p.kill()
+        p.wait()
