@@ -335,3 +335,55 @@ def simhash_dupes(df: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("n_docs"),
                  F.min("id").alias("keeper_id"))
             .filter(F.col("n_docs") > 1))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 13,
+                  min_collisions: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id", eval_text_col: str = "text",
+                  broadcast_eval: bool = True,
+                  telemetry: dict | None = None) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a held-out eval/benchmark set (the GPT-3 appendix-C / FineWeb
+    13-gram collision rule). Returns one row per corpus doc:
+    ``(doc_id, collisions, contaminated)`` where collisions counts the
+    doc's distinct shingles that appear anywhere in the eval set and
+    contaminated = collisions >= min_collisions.
+
+    Shape at 100 TB: the corpus side streams through one shingle explode;
+    the eval side is tiny by nature (benchmark suites are 10^3–10^5 docs),
+    so its distinct-shingle set broadcasts and the collision check is a
+    map-side hash join — no shuffle of corpus shingles at all. For an
+    unusually large eval union set pass ``broadcast_eval=False`` and the
+    same plan degrades gracefully to a shuffle equi-join on shingle.
+    ``telemetry`` (optional dict) receives a write-time Observation with
+    the contaminated-doc count and the total — the contamination-rate
+    time series a production pipeline alarms on."""
+    ev = (eval_df.select(F.explode(T.word_shingles(eval_text_col, n))
+                         .alias("shingle"))
+          .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    # word_shingles is distinct per doc and ev is distinct, so each
+    # (id, shingle) joins at most once: count(*) == distinct collisions
+    hits = (df.select(F.col(id_col).alias("id"),
+                      F.explode(T.word_shingles(text_col, n))
+                      .alias("shingle"))
+            .join(ev, "shingle")
+            .groupBy("id")
+            .agg(F.count("*").alias("collisions")))
+    out = (df.select(F.col(id_col).alias("id"))
+           .join(hits, "id", "left")
+           .select(F.col("id").alias(id_col),
+                   F.coalesce("collisions", F.lit(0)).alias("collisions"))
+           .withColumn("contaminated",
+                       F.col("collisions") >= min_collisions))
+    if telemetry is not None:
+        from pyspark.sql import Observation
+        obs = Observation()
+        telemetry["contamination"] = obs
+        out = out.observe(
+            obs,
+            F.sum(F.col("contaminated").cast("long"))
+            .alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("docs"))
+    return out

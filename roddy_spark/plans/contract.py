@@ -506,6 +506,41 @@ FROM q JOIN keep k ON k.cluster_id = q.cluster_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (VERDICT r5 item 7 / pipeline canon): the
+    eval set here is a subset of the corpus itself — the classic
+    "benchmark leaked into the training data" shape — so every eval
+    member and any doc sharing an 8-gram with one must come out flagged.
+    Corpus shingles hash-join a broadcast distinct-eval-shingle set;
+    collisions counted per doc (operators/textdedup.py:decontaminate)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 3).select("text")
+    return TD.decontaminate(docs, ev, n=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, {_TOKS.format(x='text')} AS toks FROM documents),
+ev AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 7, 0)),
+      i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+  FROM corpus WHERE id % 7 = 3),
+cs AS (
+  SELECT id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 7, 0)),
+      i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+  FROM corpus),
+hits AS (
+  SELECT id, count(*) AS collisions
+  FROM cs JOIN ev USING (shingle) GROUP BY id)
+SELECT c.id AS doc_id,
+       coalesce(h.collisions, 0) AS collisions,
+       coalesce(h.collisions, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.id = c.id
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=4, n=3)
@@ -1358,6 +1393,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1402,6 +1438,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "decontaminate": SQL_DECONTAMINATE,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -366,3 +366,37 @@ def test_canonical_docs_over_lsh_pairs(spark, docs):
     # every keeper is a member of its own cluster
     for _id, (cid, kid) in rows.items():
         assert rows[kid][0] == cid
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc is contaminated iff it shares an n-gram with the eval
+    set; collisions count the distinct shared shingles; clean docs come
+    out with collisions=0. Broadcast and shuffle paths agree."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"),          # contains eval 4-grams
+         (2, "a b c d x y"),          # shares exactly one 4-gram
+         (3, "p q r s t u"),          # clean
+         (4, "c d e f g h")],         # shares "c d e f"
+        ["doc_id", "text"])
+    ev = spark.createDataFrame([("z z a b c d e f",)], ["text"])
+    tele = {}
+    res = D.decontaminate(corpus, ev, n=4, telemetry=tele)
+    rows = {r["doc_id"]: (r["collisions"], r["contaminated"])
+            for r in res.collect()}
+    # eval 4-grams: {z z a b, z a b c, a b c d, b c d e, c d e f}
+    assert rows == {1: (3, True), 2: (1, True), 3: (0, False),
+                    4: (1, True)}
+    obs = tele["contamination"].get
+    assert obs["contaminated_docs"] == 3 and obs["docs"] == 4
+    shuffled = D.decontaminate(corpus, ev, n=4, broadcast_eval=False)
+    assert {tuple(r) for r in shuffled.collect()} == {
+        tuple(r) for r in res.collect()}
+
+
+def test_decontaminate_min_collisions_threshold(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d x y"), (2, "a b c d e f")], ["doc_id", "text"])
+    ev = spark.createDataFrame([("a b c d e f",)], ["text"])
+    res = {r["doc_id"]: r["contaminated"] for r in
+           D.decontaminate(corpus, ev, n=4, min_collisions=2).collect()}
+    assert res == {1: False, 2: True}
