@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "embedding_neardup", "phash_banding", "ann_topk", "ann_ivf_topk",
     "sessionize",
     "hourly_rollup",
+    "dedup_clusters", "decontaminate",
 ]
 
 
@@ -460,10 +461,22 @@ def similarity_scale(spark) -> dict:
         rec = {"secs": secs, "result_rows": n}
         if "candidates" in tel:
             rec["candidates"] = int(tel["candidates"].get["candidates"])
+        if "contamination" in tel:
+            got = tel["contamination"].get
+            rec["contaminated_docs"] = int(got["contaminated_docs"])
         out[name] = rec
 
     run("ngram_jaccard", lambda t: TD.ngram_jaccard_pairs(
         docs, threshold=0.5, max_shingle_freq=1000, telemetry=t))
+    # production path (VERDICT r5 item 5): exact Jaccard verified only on
+    # MinHash-LSH band candidates — should sit within ~1.5x of minhash_lsh
+    run("ngram_jaccard_prefiltered", lambda t: TD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_freq=1000,
+        prefilter_minhash=True, telemetry=t))
+    # eval set = every 101st doc; broadcast-shingle collision flagging
+    run("decontaminate", lambda t: TD.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 101 == 17).select("text"),
+        n=8, telemetry=t))
     run("minhash_lsh", lambda t: TD.minhash_lsh_pairs(
         docs, threshold=0.5, telemetry=t))
     # 16 planes / 1 probe bit at 50k vectors: bucket count scales with the

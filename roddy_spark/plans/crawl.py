@@ -272,6 +272,24 @@ class SnapshotStore:
         except Exception:
             return None
 
+    def read_latest(self, spark: SparkSession, table: str,
+                    max_batch: int) -> DataFrame | None:
+        """Latest committed snapshot of ``table`` with batch <= max_batch.
+        Needed for tables written only on CHANGE (the cookie jar since the
+        count-routed write-back): the completed batch may not have a
+        snapshot, but an earlier one does. Listing-only (no Spark jobs);
+        batches > max_batch are a killed run's uncommitted writes and are
+        excluded for snapshot isolation."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return None
+        nums = [int(e.split("=", 1)[1]) for e in os.listdir(root)
+                if e.startswith("batch=")]
+        nums = [b for b in nums if b <= max_batch]
+        if not nums:
+            return None
+        return self.read(spark, table, max(nums))
+
     def manifest(self) -> dict | None:
         p = os.path.join(self.root, "manifest.json")
         if not os.path.exists(p):
@@ -531,7 +549,10 @@ class Crawler:
             candidates = store.read(spark, "candidates", batch)
             pending = store.read(spark, "pending", batch)
             visited = store.read_visited(spark)
-            jar = store.read(spark, "cookies", batch)
+            # latest-committed, not exact-batch: the jar is written only on
+            # batches that SET cookies, so the completed batch may carry no
+            # snapshot while an earlier one does
+            jar = store.read_latest(spark, "cookies", batch)
             if jar is not None:
                 self.cookies.update({r["host"]: r["cookie"]
                                      for r in jar.collect()})
