@@ -261,12 +261,12 @@ def extract_links_fast(html: pd.Series):
 #
 # Selector grammar (the subset those APIs actually exercise, extended with
 # the goquery forms most common in real colly migrations — VERDICT r4
-# item 7): comma groups, descendant (space) and child (>) combinators,
-# compounds of
+# item 7): comma groups, descendant (space), child (>), adjacent-sibling
+# (+) and general-sibling (~) combinators, compounds of
 #   tag  .class  #id  [attr]  [attr=v] [attr^=v] [attr$=v] [attr*=v]
 #   [attr~=v] [attr|=v]  (v bare or quoted; quoted values may contain
 #   space/','/'>')  :first-child  :nth-child(n)  :first-of-type
-#   :nth-of-type(n)
+#   :nth-of-type(n)  :not(compound)
 # Start tags apply the HTML5 implied-end-tag rules (optional end tags:
 # p/li/dt/dd/tr/td/th/option/...), matching net/html's tree for the
 # real-world HTML that omits them (ADVICE r4).
@@ -284,7 +284,8 @@ _SEL_PART_RE = _re.compile(
     r"|\[([\w-]+)(?:([~^$*|]?=)(?:\"([^\"]*)\"|'([^']*)'|([^\]\"']*)))?\]"
     # [attr], [attr=v], and the goquery-common substring forms
     # [attr^=v] [attr$=v] [attr*=v] [attr~=v] [attr|=v] (VERDICT r4 item 7)
-    r"|:([\w-]+)(?:\((\d+)\))?")   # :first-child / :nth-of-type(n) / ...
+    r"|:([\w-]+)(?:\(([^()]*)\))?")  # :first-child / :nth-of-type(n) /
+                                     # :not(compound) ...
 
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr"
@@ -326,7 +327,7 @@ _P_SCOPE_BOUNDARY = frozenset(
 # pseudo-classes decidable at the element's START tag in one pass
 # (:last-child / :last-of-type need the parent's END — unsupported, loud)
 _PSEUDOS = frozenset({"first-child", "nth-child",
-                      "first-of-type", "nth-of-type"})
+                      "first-of-type", "nth-of-type", "not"})
 
 
 def _compile_compound(s: str):
@@ -355,9 +356,18 @@ def _compile_compound(s: str):
                 raise ValueError(
                     f"unsupported pseudo-class :{ps} (supported: "
                     f"{', '.join(sorted(_PSEUDOS))})")
-            if ps.startswith("nth-") and psn is None:
-                raise ValueError(f":{ps} needs an (n) argument: {s!r}")
-            pseudos.append((ps, int(psn) if psn else None))
+            if ps == "not":
+                if not psn or not psn.strip():
+                    raise ValueError(
+                        f":not() needs a compound argument: {s!r}")
+                # one COMPOUND (cascadia's common form); combinators
+                # inside :not() are not supported and fail loudly here
+                pseudos.append(("not", _compile_compound(psn.strip())))
+            else:
+                if ps.startswith("nth-") and (psn is None
+                                              or not psn.isdigit()):
+                    raise ValueError(f":{ps} needs an (n) argument: {s!r}")
+                pseudos.append((ps, int(psn) if psn else None))
         pos = m.end()
     return tag, tuple(classes), id_, tuple(preds), tuple(pseudos)
 
@@ -385,19 +395,21 @@ def _split_respecting_quotes(s: str, sep: str) -> list[str]:
 
 
 def _tokenize_group(group: str) -> list[str]:
-    """One selector group → compound / '>' tokens, with whitespace and '>'
-    inside quoted attribute values kept verbatim."""
+    """One selector group → compound / combinator ('>', '+', '~') tokens.
+    Combinator characters inside quoted attribute values or inside
+    []/() (e.g. ``[attr~=v]``, ``:not(.x)``) stay part of the compound;
+    unspaced forms (``a+b``, ``ul>li``) split correctly."""
     toks, i, n = [], 0, len(group)
     while i < n:
         c = group[i]
         if c.isspace():
             i += 1
             continue
-        if c == ">":
-            toks.append(">")
+        if c in ">+~":
+            toks.append(c)
             i += 1
             continue
-        j, q = i, None
+        j, q, depth = i, None, 0
         while j < n:
             ch = group[j]
             if q:
@@ -405,7 +417,11 @@ def _tokenize_group(group: str) -> list[str]:
                     q = None
             elif ch in "\"'":
                 q = ch
-            elif ch.isspace() or ch == ">":
+            elif ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth = max(0, depth - 1)
+            elif depth == 0 and (ch.isspace() or ch in ">+~"):
                 break
             j += 1
         toks.append(group[i:j])
@@ -413,10 +429,14 @@ def _tokenize_group(group: str) -> list[str]:
     return toks
 
 
+_COMBINATORS = {">": "child", "+": "adj", "~": "sib"}
+
+
 def compile_selector(selector: str):
     """CSS selector string → list of chains; each chain is a list of
-    (combinator, compound) with combinator ∈ {'desc', 'child'} naming how
-    the compound relates to the one BEFORE it (the first's is ignored)."""
+    (combinator, compound) with combinator ∈ {'desc', 'child', 'adj',
+    'sib'} naming how the compound relates to the one BEFORE it (the
+    first's is ignored)."""
     chains = []
     for group in _split_respecting_quotes(selector, ","):
         group = group.strip()
@@ -424,15 +444,15 @@ def compile_selector(selector: str):
             raise ValueError(f"empty selector group in {selector!r}")
         chain, comb = [], "desc"
         for tok in _tokenize_group(group):
-            if tok == ">":
-                if comb == "child" or not chain:
-                    raise ValueError(f"dangling '>' in {selector!r}")
-                comb = "child"
+            if tok in _COMBINATORS:
+                if comb != "desc" or not chain:
+                    raise ValueError(f"dangling {tok!r} in {selector!r}")
+                comb = _COMBINATORS[tok]
                 continue
             chain.append((comb, _compile_compound(tok)))
             comb = "desc"
-        if comb == "child" or not chain:
-            raise ValueError(f"dangling '>' in {selector!r}")
+        if comb != "desc" or not chain:
+            raise ValueError(f"dangling combinator in {selector!r}")
         chains.append(chain)
     return chains
 
@@ -479,21 +499,44 @@ def _compound_matches(comp, el) -> bool:
             return False
         if ps == "nth-of-type" and type_idx != n:
             return False
+        if ps == "not" and _compound_matches(n, el):
+            return False
     return True
 
 
-def _chain_matches(chain, stack) -> bool:
+def _chain_matches(chain, stack, root_counters) -> bool:
     """Right-to-left match of ``chain`` against the open-element ``stack``
-    (innermost last); the rightmost compound must match the top element."""
-    def rec(ci: int, si: int) -> bool:
-        if not _compound_matches(chain[ci][1], stack[si]):
+    (innermost last); the rightmost compound must match the top element.
+
+    Sibling combinators ('adj' = ``+``, 'sib' = ``~``) match against the
+    parent frame's recorded closed-sibling summaries (4-tuples of
+    (tag, attrs, child_idx, type_idx) appended at each child's start tag)
+    — preceding siblings of an open element are always fully recorded by
+    the time it starts, so the one-pass property is preserved. A sibling
+    shares the open element's ancestor chain, so the rest of the chain
+    continues from the same stack position."""
+    def sibs(si: int):
+        counters = stack[si - 1][4] if si > 0 else root_counters
+        return counters.get("__sibs", ())
+
+    def rec(ci: int, si: int, el) -> bool:
+        if not _compound_matches(chain[ci][1], el):
             return False
         if ci == 0:
             return True
-        if chain[ci][0] == "child":
-            return si > 0 and rec(ci - 1, si - 1)
-        return any(rec(ci - 1, sj) for sj in range(si - 1, -1, -1))
-    return rec(len(chain) - 1, len(stack) - 1)
+        comb = chain[ci][0]
+        if comb == "child":
+            return si > 0 and rec(ci - 1, si - 1, stack[si - 1])
+        if comb == "adj":
+            want = el[2] - 1
+            return any(rec(ci - 1, si, s) for s in sibs(si)
+                       if s[2] == want)
+        if comb == "sib":
+            return any(rec(ci - 1, si, s) for s in sibs(si)
+                       if s[2] < el[2])
+        return any(rec(ci - 1, sj, stack[sj])
+                   for sj in range(si - 1, -1, -1))
+    return rec(len(chain) - 1, len(stack) - 1, stack[-1])
 
 
 class _SelectorExtractor(HTMLParser):
@@ -515,11 +558,20 @@ class _SelectorExtractor(HTMLParser):
         self.rows: list = []
         self._pos = [0] * len(compiled)   # per-selector document-order rank
         self._root_counters: dict = {}
+        # sibling summaries cost one tuple per element; record them only
+        # when some chain actually uses a sibling combinator
+        self._need_sibs = any(
+            comb in ("adj", "sib")
+            for _sel, chains in compiled
+            for chain in chains for comb, _c in chain)
 
     def _push(self, tag: str, attrs: dict) -> None:
         counters = self.stack[-1][4] if self.stack else self._root_counters
         counters["__n"] = child_idx = counters.get("__n", 0) + 1
         counters[tag] = type_idx = counters.get(tag, 0) + 1
+        if self._need_sibs:
+            counters.setdefault("__sibs", []).append(
+                (tag, attrs, child_idx, type_idx))
         self.stack.append((tag, attrs, child_idx, type_idx, {}))
 
     def _pop_to(self, si: int) -> None:
@@ -562,7 +614,8 @@ class _SelectorExtractor(HTMLParser):
 
     def _try_open(self, tag: str, attrs: dict, void: bool) -> None:
         for k, (sel, chains) in enumerate(self.compiled):
-            if any(_chain_matches(ch, self.stack) for ch in chains):
+            if any(_chain_matches(ch, self.stack, self._root_counters)
+                   for ch in chains):
                 cap = {"selector": sel, "pos": self._pos[k], "tag": tag,
                        "parts": [], "attrs": dict(attrs),
                        "depth": len(self.stack)}

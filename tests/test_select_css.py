@@ -67,7 +67,8 @@ def test_p_description_parity_with_fixed_schema():
 
 
 def test_unsupported_selector_raises():
-    for bad in ("p:last-child", "a ~ b", "", "div >", "p:nth-of-type"):
+    for bad in ("p:last-child", "", "div >", "a + > b", "~ b",
+                "p:nth-of-type", "p:not()", "p:not(a b)"):
         with pytest.raises(ValueError):
             compile_selector(bad)
 
@@ -197,3 +198,58 @@ def test_selector_engine_bugs_raise_loudly():
     return zero rows."""
     with pytest.raises(Exception):
         select_html("<p>x</p>", [("p", "not-a-chain-list")])
+
+
+def test_sibling_combinators():
+    """goquery/cascadia `+` (adjacent) and `~` (general) sibling
+    combinators, matched one-pass against recorded closed-sibling
+    summaries."""
+    h = ("<div><h2>t</h2><p>one</p><p>two</p><span>s</span>"
+         "<p>three</p></div>")
+    assert [r["text"] for r in _rows("h2 + p", h)] == ["one"]
+    # 'three' follows a span, not a p — adjacency is strict
+    assert [r["text"] for r in _rows("p + p", h)] == ["two"]
+    assert [r["text"] for r in _rows("h2 ~ p", h)] == [
+        "one", "two", "three"]
+    assert [r["text"] for r in _rows("p ~ p", h)] == ["two", "three"]
+    assert [r["text"] for r in _rows("h2+p", h)] == ["one"]  # unspaced
+
+
+def test_sibling_scope_does_not_cross_parents():
+    h = ("<div><p class=x>a</p><b>m</b><p>b</p></div>"
+         "<div><p>c</p></div>")
+    # 'c' lives in the next div — sibling scope is the shared parent
+    assert [r["text"] for r in _rows("p.x ~ p", h)] == ["b"]
+    assert [r["text"] for r in _rows(".x + b + p", h)] == ["b"]
+
+
+def test_sibling_chain_continues_from_shared_ancestors():
+    # the compound left of a sibling step shares the right side's
+    # ancestor chain: em must sit under the div ADJACENT to h1
+    h = ("<article><h1>t</h1><div><em>e</em></div></article>"
+         "<div><em>f</em></div>")
+    assert [r["text"] for r in _rows("h1 + div em", h)] == ["e"]
+    h2 = ("<section><div><p>a</p></div>"
+          "<div><span>q</span><p>b</p></div></section>")
+    assert [r["text"] for r in _rows("div + div > p", h2)] == ["b"]
+
+
+def test_sibling_combinator_with_implied_end_tags():
+    # implied-end siblings (li closes li) are recorded like explicit ones
+    h = "<ul><li>1<li>2<li>3</ul>"
+    assert [r["text"] for r in _rows("li + li", h)] == ["2", "3"]
+    assert [r["text"] for r in _rows("li:first-child ~ li", h)] == [
+        "2", "3"]
+
+
+def test_not_pseudo_class():
+    h = "<ul><li class=a>1<li>2<li class=a>3</ul>"
+    assert [r["text"] for r in _rows("li:not(.a)", h)] == ["2"]
+    assert [r["text"] for r in _rows("li:not(:first-child)", h)] == [
+        "2", "3"]
+    h2 = '<p class="a b">x</p><p class="ab">y</p>'
+    assert [r["text"] for r in _rows("p:not([class~=b])", h2)] == ["y"]
+    # attr-op inside :not() parens survives tokenization ([class|=a]
+    # matches the WHOLE value 'a' or an 'a-' prefix)
+    h3 = '<p class="a-x">x</p><p class="ab">y</p>'
+    assert [r["text"] for r in _rows('p:not([class|=a])', h3)] == ["y"]
