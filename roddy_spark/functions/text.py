@@ -57,6 +57,18 @@ def bpe_ish_token_count(c: Column | str) -> Column:
     return F.size(F.filter(pieces, lambda t: t != ""))
 
 
+def word_ngrams(c: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams in order (NOT deduplicated — repetition analysis
+    needs every occurrence; dedup/Jaccard wants ``word_shingles``). Docs
+    shorter than n tokens yield an empty array."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """n-gram word shingles (distinct), the unit for Jaccard/MinHash dedup.
     Docs shorter than n tokens yield an empty array."""

@@ -1,0 +1,88 @@
+"""Repetition-based quality filtering for training-data pipelines (the
+Gopher/MassiveText repetition rules, token-level): documents dominated by
+a few repeated n-grams are boilerplate/SEO spam and get filtered before
+training. No reference twin — this is pipeline-brief scope, like
+textdedup/similarity.
+
+Scale shape: ZERO shuffles. Repetition metrics are a pure per-document
+function, so they are computed row-local with JVM higher-order functions
+(sort the doc's n-gram array, one linear run-length scan via
+``F.aggregate``) inside whole-stage codegen — no explode, no
+aggregation exchange, no join. A first draft used
+explode → groupBy(id, gram) → groupBy(id) → join-back; that ships every
+n-gram of the corpus through two shuffles to compute numbers each row
+already contains, and its join-back only broadcasts at toy scale. At
+100 TB the row-local form is embarrassingly parallel and reads/writes
+nothing but the documents scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from roddy_spark.functions import text as T
+
+
+def _run_length_stats(grams: Column) -> Column:
+    """One linear pass over a SORTED string array → struct(max_c, dup_c):
+    the highest occurrence count of any element, and the number of
+    elements belonging to values occurring more than once. Equal values
+    are adjacent after the sort, so counts are run lengths. The ""
+    sentinel for ``prev`` is safe: grams are built from non-empty
+    tokens, so no gram is the empty string."""
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("max_run"),
+                    F.lit(0).alias("dup"))
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["max_run"])
+            .otherwise(F.greatest(acc["max_run"], acc["run"]))
+            .alias("max_run"),
+            (acc["dup"] + F.when(~same & (acc["run"] > 1), acc["run"])
+             .otherwise(F.lit(0))).alias("dup"))
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["max_run"], acc["run"]).alias("max_c"),
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+             .otherwise(F.lit(0))).alias("dup_c"))
+
+    return F.aggregate(grams, acc0, step, finish)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2,
+                     top_frac_threshold: float = 0.20,
+                     dup_frac_threshold: float = 0.50) -> DataFrame:
+    """Per-document n-gram repetition metrics + a ``repetitive`` flag.
+
+    Returns one row per input doc:
+      - ``total_ngrams``  — number of word n-grams (0 for docs < n tokens)
+      - ``top_ngram_frac``  — occurrences of the single most frequent
+        n-gram / total (Gopher's "top n-gram fraction", token-count form)
+      - ``dup_ngram_frac``  — occurrences belonging to n-grams that appear
+        more than once / total ("duplicated n-gram fraction")
+      - ``repetitive``  — top_ngram_frac > top_frac_threshold OR
+        dup_ngram_frac > dup_frac_threshold
+
+    Docs too short to form an n-gram come out 0.0/0.0/false (too-short is
+    a LENGTH rule's business, not a repetition rule's).
+    """
+    grams = F.array_sort(T.word_ngrams(text_col, n))
+    total = F.size(grams)
+    st = _run_length_stats(grams)
+    denom = F.greatest(total, F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        total.cast("long").alias("total_ngrams"),
+        (st["max_c"] / denom).cast("double").alias("top_ngram_frac"),
+        (st["dup_c"] / denom).cast("double").alias("dup_ngram_frac"))
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_ngram_frac") > top_frac_threshold)
+        | (F.col("dup_ngram_frac") > dup_frac_threshold))

@@ -19,6 +19,7 @@ from roddy_spark.functions import text as T
 from roddy_spark.functions import urls as U
 from roddy_spark.operators import similarity as SIM
 from roddy_spark.operators import textdedup as TD
+from roddy_spark.operators import textquality as TQ
 from roddy_spark.streaming import events as EV
 
 # DuckDB twin of functions.text.h32
@@ -538,6 +539,42 @@ SELECT c.id AS doc_id,
        coalesce(h.collisions, 0) AS collisions,
        coalesce(h.collisions, 0) >= 1 AS contaminated
 FROM corpus c LEFT JOIN hits h ON h.id = c.id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style token-level repetition metrics per document: top
+    2-gram fraction + duplicated 2-gram fraction + the repetitive flag
+    (operators/textquality.py:repetition_stats). Pipeline-brief scope,
+    no reference twin."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return TQ.repetition_stats(docs, n=2)
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (
+  SELECT doc_id AS id, {_TOKS.format(x='text')} AS toks FROM documents),
+g AS (
+  SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM t),
+pg AS (SELECT id, gram, count(*) AS c FROM g GROUP BY id, gram),
+st AS (
+  SELECT id, sum(c) AS total, max(c) AS max_c,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+  FROM pg GROUP BY id)
+SELECT t.id AS doc_id,
+       CAST(coalesce(st.total, 0) AS BIGINT) AS total_ngrams,
+       coalesce(st.max_c, 0)::DOUBLE
+         / greatest(coalesce(st.total, 0), 1) AS top_ngram_frac,
+       coalesce(st.dup_c, 0)::DOUBLE
+         / greatest(coalesce(st.total, 0), 1) AS dup_ngram_frac,
+       (coalesce(st.max_c, 0)::DOUBLE
+          / greatest(coalesce(st.total, 0), 1) > 0.20
+        OR coalesce(st.dup_c, 0)::DOUBLE
+          / greatest(coalesce(st.total, 0), 1) > 0.50) AS repetitive
+FROM t LEFT JOIN st ON st.id = t.id
 """
 
 
@@ -1394,6 +1431,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1439,6 +1477,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

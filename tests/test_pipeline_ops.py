@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from roddy_spark.functions import text as T
 from roddy_spark.operators import similarity as S
 from roddy_spark.operators import textdedup as D
+from roddy_spark.operators import textquality as Q
 from roddy_spark.streaming import events as E
 
 
@@ -400,3 +401,40 @@ def test_decontaminate_min_collisions_threshold(spark):
     res = {r["doc_id"]: r["contaminated"] for r in
            D.decontaminate(corpus, ev, n=4, min_collisions=2).collect()}
     assert res == {1: False, 2: True}
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition metrics: top/duplicated 2-gram fractions
+    computed over ALL occurrences (not distinct shingles); too-short docs
+    come out 0.0/0.0/unflagged."""
+    corpus = spark.createDataFrame(
+        [(1, "buy now buy now buy now"),    # 'buy now' 3/5, dup 'now buy' 2
+         (2, "a b c d e f"),                # all 2-grams unique
+         (3, "x"),                          # too short for a 2-gram
+         (4, "a b a b c a b")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in Q.repetition_stats(
+        corpus, n=2, top_frac_threshold=0.5).collect()}
+    # doc 1: grams = [buy now, now buy, buy now, now buy, buy now]
+    r1 = rows[1]
+    assert r1["total_ngrams"] == 5
+    assert r1["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert r1["dup_ngram_frac"] == pytest.approx(1.0)
+    assert bool(r1["repetitive"])
+    # doc 2: 5 unique 2-grams
+    r2 = rows[2]
+    assert r2["total_ngrams"] == 5
+    assert r2["top_ngram_frac"] == pytest.approx(1 / 5)
+    assert r2["dup_ngram_frac"] == 0.0
+    assert not r2["repetitive"]
+    # doc 3: no 2-grams at all
+    r3 = rows[3]
+    assert (r3["total_ngrams"], r3["top_ngram_frac"],
+            r3["dup_ngram_frac"], bool(r3["repetitive"])) == (0, 0.0,
+                                                              0.0, False)
+    # doc 4: grams = [a b, b a, a b, b c, c a, a b] -> 'a b' 3/6, dup 3/6
+    r4 = rows[4]
+    assert r4["total_ngrams"] == 6
+    assert r4["top_ngram_frac"] == pytest.approx(0.5)
+    assert r4["dup_ngram_frac"] == pytest.approx(0.5)
+    assert not bool(r4["repetitive"])  # 0.5 not > 0.5
