@@ -976,14 +976,20 @@ def main() -> None:
     #     queries, efficiencies, loop + full-level throughput — sized well
     #     under any plausible tail window, so whatever parses the last
     #     line always gets the auditable numbers.
-    try:
-        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH"), exist_ok=True)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "bench_full.json"), "w") as f:
-            json.dump(result, f, indent=1)
-    except OSError:
-        pass
+    # sidecar rule (VERDICT r5 item 6): bench_full.json always reflects the
+    # LAST FULL run — quick runs (no level/scaling sections) must not
+    # clobber it, and BASELINE.md quotes the sidecar, not a best run.
+    if not quick:
+        try:
+            os.makedirs(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH", "bench_full.json"), "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(result))
     compact = {
         "metric": result["metric"],
