@@ -74,7 +74,7 @@ QUERY_NAMES = [
     "embedding_neardup", "phash_banding", "ann_topk", "ann_ivf_topk",
     "sessionize",
     "hourly_rollup",
-    "dedup_clusters", "decontaminate",
+    "dedup_clusters", "decontaminate", "repetition_stats",
 ]
 
 
