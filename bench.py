@@ -205,13 +205,19 @@ class _CpuTreeSampler(threading.Thread):
         self.series: list[tuple[float, float, float]] = []
         self._stop = threading.Event()
         self._max_py = self._max_jvm = 0.0
+        # sample() is called from BOTH the 1 Hz daemon loop and the main
+        # thread (job boundaries); without the lock the read-modify-write
+        # on the maxima can go backwards and series timestamps can land
+        # out of order, breaking _series_at's sorted scan
+        self._lock = threading.Lock()
 
     def sample(self) -> tuple[float, float, float]:
         c = _proc_tree_cpu()
-        self._max_py = max(self._max_py, c["py"])
-        self._max_jvm = max(self._max_jvm, c["jvm"])
-        pt = (time.time(), self._max_py, self._max_jvm)
-        self.series.append(pt)
+        with self._lock:
+            self._max_py = max(self._max_py, c["py"])
+            self._max_jvm = max(self._max_jvm, c["jvm"])
+            pt = (time.time(), self._max_py, self._max_jvm)
+            self.series.append(pt)
         return pt
 
     def run(self):

@@ -284,8 +284,11 @@ _SEL_PART_RE = _re.compile(
     r"|\[([\w-]+)(?:([~^$*|]?=)(?:\"([^\"]*)\"|'([^']*)'|([^\]\"']*)))?\]"
     # [attr], [attr=v], and the goquery-common substring forms
     # [attr^=v] [attr$=v] [attr*=v] [attr~=v] [attr|=v] (VERDICT r4 item 7)
-    r"|:([\w-]+)(?:\(([^()]*)\))?")  # :first-child / :nth-of-type(n) /
-                                     # :not(compound) ...
+    r"|:([\w-]+)(?:\(((?:[^()]|\([^()]*\))*)\))?")
+    # :first-child / :nth-of-type(n) / :not(compound) — the argument class
+    # admits ONE nesting level of parens so :not(:nth-child(2)) parses
+    # (a compound argument cannot itself contain :not, so one level is
+    # the grammar's full depth)
 
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr"
@@ -362,7 +365,12 @@ def _compile_compound(s: str):
                         f":not() needs a compound argument: {s!r}")
                 # one COMPOUND (cascadia's common form); combinators
                 # inside :not() are not supported and fail loudly here
-                pseudos.append(("not", _compile_compound(psn.strip())))
+                inner = _compile_compound(psn.strip())
+                if any(ips == "not" for ips, _ in inner[4]):
+                    # CSS3: the negation argument is a simple selector,
+                    # never another negation
+                    raise ValueError(f"nested :not() is invalid: {s!r}")
+                pseudos.append(("not", inner))
             else:
                 if ps.startswith("nth-") and (psn is None
                                               or not psn.isdigit()):

@@ -72,13 +72,7 @@ def word_ngrams(c: Column | str, n: int = 2) -> Column:
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """n-gram word shingles (distinct), the unit for Jaccard/MinHash dedup.
     Docs shorter than n tokens yield an empty array."""
-    t = tokens(c)
-    sh = F.when(
-        F.size(t) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(t) - n),
-                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    return F.array_distinct(word_ngrams(c, n))
 
 
 def stopword_ratio(c: Column | str) -> Column:

@@ -312,12 +312,17 @@ def canonical_docs(df: DataFrame, pairs: DataFrame,
                       *( [F.col(prefer).alias("_pref")] if prefer else [] ))
             .join(comps, "id"))
     if prefer:
-        keep = (docs.groupBy("cluster_id")
-                .agg(F.max("_pref").alias("_best")))
-        keepers = (docs.join(keep, "cluster_id")
-                   .filter(F.col("_pref") == F.col("_best"))
-                   .groupBy("cluster_id")
-                   .agg(F.min("id").alias("keeper_id")))
+        # one aggregation, no self-join: max_by over (pref, -id) — the
+        # composite key is unique per row (ids are), so the pick is
+        # deterministic: highest pref wins, min id breaks ties. A NULL
+        # struct field sorts lowest, so docs with NULL pref lose to any
+        # scored doc, and an all-NULL cluster falls back to min id
+        # instead of losing its keeper to a NULL = NULL filter (which
+        # silently DROPPED such clusters in the join formulation).
+        key = F.struct(F.col("_pref").alias("p"),
+                       (-F.col("id")).alias("ni"))
+        keepers = (docs.groupBy("cluster_id")
+                   .agg(F.max_by("id", key).alias("keeper_id")))
     else:
         keepers = (docs.groupBy("cluster_id")
                    .agg(F.min("id").alias("keeper_id")))

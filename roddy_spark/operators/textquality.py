@@ -1,8 +1,10 @@
 """Repetition-based quality filtering for training-data pipelines (the
 Gopher/MassiveText repetition rules, token-level): documents dominated by
 a few repeated n-grams are boilerplate/SEO spam and get filtered before
-training. No reference twin — this is pipeline-brief scope, like
-textdedup/similarity.
+training. No counterpart in the reference crawler (coghost/roddy) — this
+is pipeline-brief scope like textdedup/similarity — but it IS
+DuckDB-oracled: contract entry ``repetition_stats`` hash-checks every
+value against an independent SQL twin.
 
 Scale shape: ZERO shuffles. Repetition metrics are a pure per-document
 function, so they are computed row-local with JVM higher-order functions

@@ -545,8 +545,8 @@ FROM corpus c LEFT JOIN hits h ON h.id = c.id
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style token-level repetition metrics per document: top
     2-gram fraction + duplicated 2-gram fraction + the repetitive flag
-    (operators/textquality.py:repetition_stats). Pipeline-brief scope,
-    no reference twin."""
+    (operators/textquality.py:repetition_stats). Pipeline-brief scope
+    (no counterpart in the reference crawler); DuckDB-oracled below."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return TQ.repetition_stats(docs, n=2)
 

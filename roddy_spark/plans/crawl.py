@@ -272,6 +272,21 @@ class SnapshotStore:
         except Exception:
             return None
 
+    def rollback_table(self, table: str, completed: int) -> None:
+        """Delete ``table`` snapshots written by batches > ``completed`` —
+        a killed run's uncommitted writes. Required for tables read via
+        ``read_latest``: without it, a later resume could resurrect an
+        orphaned snapshot that a successful intervening re-run never
+        overwrote (e.g. its refetch set no cookies)."""
+        import shutil
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return
+        for e in os.listdir(root):
+            if e.startswith("batch=") and \
+                    int(e.split("=", 1)[1]) > completed:
+                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+
     def read_latest(self, spark: SparkSession, table: str,
                     max_batch: int) -> DataFrame | None:
         """Latest committed snapshot of ``table`` with batch <= max_batch.
@@ -541,8 +556,11 @@ class Crawler:
             paging_count = m.get("paging_count", 0)
             batches = m["batches"]
             # roll back visited rows a killed batch wrote but never
-            # committed (they'd mask the re-run's own re-admissions)
+            # committed (they'd mask the re-run's own re-admissions), and
+            # orphaned cookie snapshots (they'd shadow the committed jar
+            # in read_latest on a LATER resume)
             store.rollback_visited(batch)
+            store.rollback_table("cookies", batch)
             if store.visited_buckets and \
                     spark.catalog.tableExists(store._visited_table):
                 spark.catalog.refreshTable(store._visited_table)

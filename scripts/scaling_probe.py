@@ -83,13 +83,18 @@ def run(worker, k: int, secs: float = 12.0) -> float:
         except Exception:
             break
     if len(rates) < len(procs):
+        # exitcode None = still running (hung), nonzero = died — name both;
+        # terminate + join so no zombies outlive the probe in the parent
         dead = [(p.pid, p.exitcode) for p in procs if p.exitcode not in
                 (0, None)]
+        hung = [p.pid for p in procs if p.exitcode is None]
         for p in procs:
             p.terminate()
+        for p in procs:
+            p.join(timeout=5)
         raise RuntimeError(
             f"probe workers failed: got {len(rates)}/{len(procs)} results, "
-            f"dead (pid, exitcode): {dead}")
+            f"dead (pid, exitcode): {dead}, hung pids: {hung}")
     for p in procs:
         p.join()
     return sum(rates)

@@ -349,6 +349,22 @@ def test_canonical_docs_keeper_rules(spark):
     assert by_q == {1: 2, 2: 2, 3: 2, 10: 10, 99: 99}
 
 
+def test_canonical_docs_null_prefer(spark):
+    """NULL prefer values must never drop docs (code-review r6): a doc
+    with NULL quality loses to any scored clustermate, and a cluster
+    (or singleton) whose quality is NULL THROUGHOUT falls back to the
+    min-id rule — every input doc still gets exactly one output row."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, 4.0),          # mixed cluster: scored doc wins
+         (5, None), (6, None),         # all-NULL cluster: min id wins
+         (9, None)],                   # all-NULL singleton
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"])
+    by_q = {r["id"]: r["keeper_id"] for r in
+            D.canonical_docs(docs, pairs, prefer="quality").collect()}
+    assert by_q == {1: 2, 2: 2, 5: 5, 6: 5, 9: 9}
+
+
 def test_canonical_docs_over_lsh_pairs(spark, docs):
     """End-to-end over the real LSH pair output: planted near-dups collapse
     onto their base doc; untouched docs survive as their own keeper."""

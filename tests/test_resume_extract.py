@@ -320,6 +320,25 @@ def test_cookie_writeback_lifecycle(spark, web, tmp_path):
     resumed.run(resume=True)
     assert resumed.cookies == crawler.cookies
 
+    # a killed run's ORPHANED jar snapshot (batch > completed, manifest
+    # never committed) must be rolled back on resume, not resurrected by
+    # read_latest on this or any later resume (code-review r6)
+    import os
+
+    from roddy_spark.plans.crawl import SnapshotStore
+    store = SnapshotStore(ckpt)
+    completed = store.manifest()["completed_batch"]
+    orphan = store.path("cookies", completed + 1)
+    os.makedirs(orphan, exist_ok=True)
+    spark.createDataFrame([("evil.test", "sid=stale")],
+                          "host string, cookie string"
+                          ).write.mode("overwrite").parquet(orphan)
+    resumed2 = Crawler(spark, cfg, pages_ck, ckpt, fetcher=fetcher)
+    resumed2.run(resume=True)
+    assert "evil.test" not in resumed2.cookies
+    assert resumed2.cookies == crawler.cookies
+    assert not os.path.isdir(orphan)
+
 
 def test_authenticated_crawl_via_cookie_gate(spark, web, tmp_path):
     """The reference's login-flow OUTCOME (examples/login, S9's data

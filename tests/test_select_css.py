@@ -249,6 +249,11 @@ def test_not_pseudo_class():
         "2", "3"]
     h2 = '<p class="a b">x</p><p class="ab">y</p>'
     assert [r["text"] for r in _rows("p:not([class~=b])", h2)] == ["y"]
+    # parenthesized pseudo inside :not() (one nesting level)
+    assert [r["text"] for r in _rows("li:not(:nth-child(2))", h)] == [
+        "1", "3"]
+    with pytest.raises(ValueError):
+        compile_selector("p:not(:not(.a))")  # CSS3: no nested negation
     # attr-op inside :not() parens survives tokenization ([class|=a]
     # matches the WHOLE value 'a' or an 'a-' prefix)
     h3 = '<p class="a-x">x</p><p class="ab">y</p>'
