@@ -151,3 +151,36 @@ def simhash16(c: Column | str) -> Column:
                 F.lit(1)).otherwise(F.lit(-1)))
         out = out + F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+# PII scrubbing (pipeline canon: C4/RefinedWeb redact contact details
+# before training). Patterns are deliberately simple and dialect-portable:
+# the same strings compile identically under Java regex (Spark) and RE2
+# (DuckDB), which is what makes the oracle a value-exact twin.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def pii_email_count(c: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(c), F.lit(PII_EMAIL),
+                                   F.lit(0)))
+
+
+def pii_ipv4_count(c: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(c), F.lit(PII_IPV4),
+                                   F.lit(0)))
+
+
+def pii_phone_count(c: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(c), F.lit(PII_PHONE),
+                                   F.lit(0)))
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact emails, then IPv4 literals, then +international phone
+    numbers with typed placeholders. Email first: addresses contain
+    dotted digit runs the IP pattern could otherwise bite into."""
+    s = F.regexp_replace(_col(c), PII_EMAIL, "<EMAIL>")
+    s = F.regexp_replace(s, PII_IPV4, "<IP>")
+    return F.regexp_replace(s, PII_PHONE, "<PHONE>")

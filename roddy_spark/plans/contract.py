@@ -19,6 +19,7 @@ from roddy_spark.functions import text as T
 from roddy_spark.functions import urls as U
 from roddy_spark.operators import similarity as SIM
 from roddy_spark.operators import textdedup as TD
+from roddy_spark.operators import sampling as SA
 from roddy_spark.operators import textquality as TQ
 from roddy_spark.streaming import events as EV
 
@@ -576,6 +577,73 @@ SELECT t.id AS doc_id,
           / greatest(coalesce(st.total, 0), 1) > 0.50) AS repetitive
 FROM t LEFT JOIN st ON st.id = t.id
 """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sample: at most 20 docs per source,
+    chosen by h32(doc_id) order (operators/sampling.py:stratified_sample)
+    — same rows on every engine and at every parallelism."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.stratified_sample(docs, "source", k=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    )::BIGINT, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 20
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (pipeline canon; functions/text.py:scrub_pii): plant
+    deterministic emails / IPv4s / phone numbers into a slice of the
+    corpus, then count and redact them. Both engines build the SAME
+    planted text, so counts and the h32 of the scrubbed text must agree
+    value-exactly."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 4,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 6,
+               F.lit(" from 10.1.2.3 ok")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 9,
+               F.lit(" call +15551234567 today")).otherwise(F.lit(""))))
+    return planted.select(
+        "doc_id",
+        T.pii_email_count("text").cast("long").alias("n_emails"),
+        T.pii_ipv4_count("text").cast("long").alias("n_ips"),
+        T.pii_phone_count("text").cast("long").alias("n_phones"),
+        T.h32(T.scrub_pii("text")).alias("scrubbed_h32"))
+
+
+SQL_PII_SCRUB = """
+WITH p AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 11 = 4 THEN ' contact user'
+            || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 13 = 6 THEN ' from 10.1.2.3 ok' ELSE '' END
+    || CASE WHEN doc_id % 17 = 9 THEN ' call +15551234567 today'
+       ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '@IP@')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '@PHONE@')) AS BIGINT) AS n_phones,
+  ('0x' || substr(md5(
+     regexp_replace(regexp_replace(regexp_replace(text,
+       '@EMAIL@', '<EMAIL>', 'g'),
+       '@IP@', '<IP>', 'g'),
+       '@PHONE@', '<PHONE>', 'g')), 1, 8))::BIGINT AS scrubbed_h32
+FROM p
+""".replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1432,6 +1500,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1478,6 +1548,8 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pii_scrub": SQL_PII_SCRUB,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

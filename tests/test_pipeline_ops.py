@@ -454,3 +454,53 @@ def test_repetition_stats(spark):
     assert r4["top_ngram_frac"] == pytest.approx(0.5)
     assert r4["dup_ngram_frac"] == pytest.approx(0.5)
     assert not bool(r4["repetitive"])  # 0.5 not > 0.5
+
+
+def test_stratified_sample_deterministic_cap(spark):
+    from roddy_spark.operators import sampling as SA
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(46)],
+        ["doc_id", "source"])
+    out = SA.stratified_sample(df, "source", k=5)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # head-heavy group capped at k; small group (6 docs) capped at 5 too
+    assert len(by_src["big"]) == 5 and len(by_src["small"]) == 5
+    # deterministic: same picks on a rerun and under different partitioning
+    again = {r["doc_id"] for r in
+             SA.stratified_sample(df.repartition(7), "source", k=5)
+             .collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # adding docs to OTHER groups never changes this group's picks
+    grown = df.union(spark.createDataFrame(
+        [(100 + i, "third") for i in range(10)], ["doc_id", "source"]))
+    regrown = SA.stratified_sample(grown, "source", k=5)
+    big_after = {r["doc_id"] for r in regrown.collect()
+                 if r["source"] == "big"}
+    assert big_after == by_src["big"]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+         (2, "server 192.168.0.1 and backup 10.0.0.2"),
+         (3, "call +4915712345678 now"),
+         (4, "clean text with no contact details"),
+         (5, "a@b.co from 1.2.3.4 dial +12345678")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in rows.select(
+        "doc_id",
+        T.pii_email_count("text").alias("e"),
+        T.pii_ipv4_count("text").alias("i"),
+        T.pii_phone_count("text").alias("p"),
+        T.scrub_pii("text").alias("s")).collect()}
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 0, 0)
+    assert got[1]["s"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (got[2]["e"], got[2]["i"]) == (0, 2)
+    assert got[2]["s"] == "server <IP> and backup <IP>"
+    assert (got[3]["p"], got[3]["s"]) == (1, "call <PHONE> now")
+    assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
+    assert got[4]["s"] == "clean text with no contact details"
+    assert got[5]["s"] == "<EMAIL> from <IP> dial <PHONE>"
