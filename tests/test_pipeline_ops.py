@@ -504,3 +504,40 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
     assert got[4]["s"] == "clean text with no contact details"
     assert got[5]["s"] == "<EMAIL> from <IP> dial <PHONE>"
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    """Seeded randomized batch: 200 docs of random tokens (vocab sized to
+    force collisions) — every metric must equal a pure-Python Counter
+    reference computed over the same tokenization."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(97531)
+    docs = []
+    for i in range(200):
+        n_tok = rng.randint(0, 12)
+        vocab = ["aa", "bb", "cc", "dd"][:rng.randint(1, 4)]
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+
+    def ref(text, n=2):
+        toks = text.split()
+        grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+                 ] if len(toks) >= n else []
+        total = len(grams)
+        if not total:
+            return (0, 0.0, 0.0)
+        cnt = Counter(grams)
+        top = max(cnt.values()) / total
+        dup = sum(v for v in cnt.values() if v > 1) / total
+        return (total, top, dup)
+
+    got = {r["doc_id"]: r for r in Q.repetition_stats(
+        spark.createDataFrame(docs, ["doc_id", "text"]), n=2).collect()}
+    assert len(got) == 200
+    for i, text in docs:
+        total, top, dup = ref(text)
+        r = got[i]
+        assert r["total_ngrams"] == total, (i, text)
+        assert r["top_ngram_frac"] == pytest.approx(top), (i, text)
+        assert r["dup_ngram_frac"] == pytest.approx(dup), (i, text)
