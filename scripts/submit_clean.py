@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the TRAINING-DATA CLEANING pipeline (the
+pipeline-brief ops end-to-end): raw documents parquet → near-dup removal
+(MinHash-LSH pairs → connected components → keep-one-per-cluster) →
+repetition filter → optional eval-set decontamination → PII scrubbing →
+cleaned corpus parquet + one JSON metrics line.
+
+    cd /root/repo && zip -r /tmp/roddy_spark.zip roddy_spark
+    spark-submit --py-files /tmp/roddy_spark.zip \\
+        scripts/submit_clean.py \\
+        --docs /path/to/documents_parquet --out /path/to/clean \\
+        [--eval-set /path/to/eval_parquet] [--prefer quality_col]
+
+Input schema: ``doc_id bigint, text string`` (+ any passthrough columns;
+``--prefer`` names a numeric column used to pick each cluster's
+survivor, defaulting to min doc_id). Prints ONE JSON line:
+{input_docs, near_dup_removed, repetitive_removed,
+ contaminated_removed, kept, pii_redactions}.
+
+Every stage is the operator the contract oracles verify
+(textdedup/textquality/sampling/functions.text) — this script only
+composes them; scale shapes are the operators' own (banded equi-joins,
+semi-naive components, zero-shuffle repetition scan, broadcast
+decontamination).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True,
+                   help="input documents parquet (doc_id, text, ...)")
+    p.add_argument("--out", required=True, help="cleaned-corpus output dir")
+    p.add_argument("--eval-set", default=None,
+                   help="optional eval/benchmark parquet (text column); "
+                        "docs sharing an n-gram with it are removed")
+    p.add_argument("--prefer", default=None,
+                   help="numeric column deciding each cluster's survivor")
+    p.add_argument("--minhash-threshold", type=float, default=0.7)
+    p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--top-frac", type=float, default=0.20)
+    p.add_argument("--dup-frac", type=float, default=0.50)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    spark = (SparkSession.builder.appName("roddy-spark-clean")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+
+    from roddy_spark.functions import text as T
+    from roddy_spark.operators import textdedup as TD
+    from roddy_spark.operators import textquality as TQ
+
+    docs = spark.read.parquet(args.docs)
+    n_input = docs.count()
+
+    # 1. near-dup removal: LSH pairs -> components -> keep one per cluster
+    pairs = TD.minhash_lsh_pairs(docs, threshold=args.minhash_threshold)
+    clusters = TD.canonical_docs(docs, pairs, prefer=args.prefer)
+    keep_ids = (clusters.filter(F.col("id") == F.col("keeper_id"))
+                .select(F.col("id").alias("doc_id")))
+    kept = docs.join(keep_ids, "doc_id")
+
+    # 2. repetition filter (zero-shuffle row-local metrics)
+    rep = TQ.repetition_stats(kept, top_frac_threshold=args.top_frac,
+                              dup_frac_threshold=args.dup_frac)
+    kept = (kept.join(rep.filter(~F.col("repetitive"))
+                      .select("doc_id"), "doc_id"))
+
+    # 3. optional decontamination against a broadcast eval set
+    n_contaminated = 0
+    if args.eval_set:
+        ev = spark.read.parquet(args.eval_set).select("text")
+        dec = TD.decontaminate(kept, ev, n=args.decontaminate_ngram)
+        clean_ids = (dec.filter(~F.col("contaminated"))
+                     .select("doc_id"))
+        n_before = kept.count()
+        kept = kept.join(clean_ids, "doc_id")
+        n_contaminated = n_before - kept.count()
+
+    # 4. PII scrub + write; redaction count rides the write as an
+    # Observation (no second pass)
+    from pyspark.sql import Observation
+    obs = Observation()
+    scrubbed = kept.withColumn(
+        "_pii", (T.pii_email_count("text") + T.pii_ipv4_count("text")
+                 + T.pii_phone_count("text")).cast("long")) \
+        .withColumn("text", T.scrub_pii("text"))
+    scrubbed = scrubbed.observe(
+        obs, F.sum("_pii").alias("pii_redactions"),
+        F.count(F.lit(1)).alias("kept"))
+    scrubbed.drop("_pii").write.mode("overwrite").parquet(args.out)
+
+    got = obs.get
+    n_kept = int(got["kept"] or 0)
+    # stage deltas from the stage counts above (near-dup = input minus
+    # survivors of stage 1; repetition = stage-1 survivors minus stage-2)
+    n_stage1 = keep_ids.count()
+    n_stage2 = (n_kept + n_contaminated) if args.eval_set else n_kept
+    print(json.dumps({
+        "input_docs": n_input,
+        "near_dup_removed": n_input - n_stage1,
+        "repetitive_removed": n_stage1 - n_stage2,
+        "contaminated_removed": n_contaminated,
+        "kept": n_kept,
+        "pii_redactions": int(got["pii_redactions"] or 0),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
