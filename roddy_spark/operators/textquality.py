@@ -1,10 +1,13 @@
-"""Repetition-based quality filtering for training-data pipelines (the
-Gopher/MassiveText repetition rules, token-level): documents dominated by
-a few repeated n-grams are boilerplate/SEO spam and get filtered before
-training. No counterpart in the reference crawler (coghost/roddy) — this
-is pipeline-brief scope like textdedup/similarity — but it IS
-DuckDB-oracled: contract entry ``repetition_stats`` hash-checks every
-value against an independent SQL twin.
+"""Statistical quality filtering for training-data pipelines: the
+Gopher/MassiveText token-level repetition rules (``repetition_stats``)
+and CCNet-style language-model perplexity scoring (``lm_crossentropy``).
+Documents dominated by a few repeated n-grams are boilerplate/SEO spam;
+documents a reference-corpus LM finds surprising are noise/gibberish —
+both get filtered before training. No counterpart in the reference
+crawler (coghost/roddy) — this is pipeline-brief scope like
+textdedup/similarity — but both ARE DuckDB-oracled: contract entries
+``repetition_stats`` and ``lm_perplexity`` hash-check every value
+against independent SQL twins.
 
 Scale shape: ZERO shuffles. Repetition metrics are a pure per-document
 function, so they are computed row-local with JVM higher-order functions
@@ -88,3 +91,62 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         "repetitive",
         (F.col("top_ngram_frac") > top_frac_threshold)
         | (F.col("dup_ngram_frac") > dup_frac_threshold))
+
+
+def unigram_lm(ref: DataFrame, text_col: str = "text",
+               vocab_size: int = 500) -> DataFrame:
+    """Unigram language model from a reference corpus: the ``vocab_size``
+    most frequent whitespace tokens with their counts (ties broken by
+    token, so the model is deterministic at any parallelism). The cap is
+    the scale contract: the model is FIXED-SIZE regardless of reference
+    size, so it always broadcasts. Columns: (token, tok_count)."""
+    toks = ref.select(F.explode(T.tokens(text_col)).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").alias("tok_count"))
+            .orderBy(F.col("tok_count").desc(), "token")
+            .limit(vocab_size))
+
+
+def lm_crossentropy(docs: DataFrame, ref: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    vocab_size: int = 500,
+                    threshold: float = 4.93) -> DataFrame:
+    """CCNet-style perplexity filtering: score each document's tokens
+    against an add-one-smoothed unigram LM trained on ``ref`` (CCNet
+    trains KenLM on Wikipedia and drops the high-perplexity tail; same
+    shape, closed-form model so DuckDB can re-derive it exactly).
+
+    Per doc: ``xent_bits`` = mean over tokens of
+    ``log2(T + V + 1) - log2(count(token) + 1)`` where T = total count
+    and V = vocab size of the retained model (the +1 mass covers OOV),
+    rounded to 4 decimals; ``hi_perplexity`` = rounded value > threshold
+    (computed from the ROUNDED value so both engines flag identically).
+    Zero-token docs score 0.0 / false.
+
+    Scale shape: the model build shuffles only the REFERENCE corpus
+    (tiny vs the 100 TB scoring corpus) and distributed-TakeOrdereds the
+    top-K; scoring is explode → broadcast hash join (model ≤ vocab_size
+    rows, broadcast explicitly) → one partial-aggregated groupBy on the
+    doc id — exploded token rows never leave their input partition, so
+    the only exchange carries ~one row per document. ``explode_outer``
+    keeps empty docs in-band: no second pass or join-back over the
+    corpus."""
+    model = unigram_lm(ref, text_col, vocab_size)
+    stats = model.agg(
+        F.sum("tok_count").cast("double").alias("lm_total"),
+        F.count("*").cast("double").alias("lm_vocab"))
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("token"))
+    scored = (tok.join(F.broadcast(model), "token", "left")
+              .join(F.broadcast(stats)))
+    surprisal = (
+        F.log2(F.col("lm_total") + F.col("lm_vocab") + F.lit(1.0))
+        - F.log2(F.coalesce(F.col("tok_count"), F.lit(0)).cast("double")
+                 + F.lit(1.0)))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isNotNull(), surprisal)).alias("_s"))
+    out = per_doc.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
+                4).alias("xent_bits"))
+    return out.withColumn("hi_perplexity", F.col("xent_bits") > threshold)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from roddy_spark.functions import text as T
 from roddy_spark.functions import urls as U
 from roddy_spark.operators import similarity as SIM
+from roddy_spark.operators import maintext as MT
 from roddy_spark.operators import textdedup as TD
 from roddy_spark.operators import sampling as SA
 from roddy_spark.operators import textquality as TQ
@@ -646,6 +647,46 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity scoring (pipeline canon; operators/
+    textquality.py:lm_crossentropy): an add-one-smoothed unigram LM is
+    trained on the "clean reference" slice (doc_id % 5 == 0 — CCNet uses
+    Wikipedia), broadcast, and every document scored by mean token
+    surprisal in bits; the high-perplexity tail gets flagged. The model
+    is closed-form, so DuckDB re-derives it exactly: same tokenizer,
+    same (count DESC, token) vocab truncation, same smoothing."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return TQ.lm_crossentropy(docs, ref, vocab_size=300, threshold=7.0)
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH d AS (
+  SELECT doc_id AS id, {_TOKS.format(x='text')} AS toks FROM documents),
+rt AS (SELECT unnest(toks) AS token FROM d WHERE id % 5 = 0),
+model AS (
+  SELECT token, count(*) AS tok_count
+  FROM rt GROUP BY token
+  ORDER BY tok_count DESC, token LIMIT 300),
+st AS (SELECT sum(tok_count)::DOUBLE AS lm_total,
+              count(*)::DOUBLE AS lm_vocab FROM model),
+tok AS (SELECT id, unnest(toks) AS token FROM d),
+per AS (
+  SELECT t.id, count(*) AS n_tokens,
+         sum(log2(s.lm_total + s.lm_vocab + 1.0)
+             - log2(coalesce(m.tok_count, 0)::DOUBLE + 1.0)) AS ssum
+  FROM tok t
+  LEFT JOIN model m ON m.token = t.token
+  CROSS JOIN st s
+  GROUP BY t.id)
+SELECT d.id AS doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.ssum / p.n_tokens, 0.0), 4) AS xent_bits,
+       round(coalesce(p.ssum / p.n_tokens, 0.0), 4) > 7.0 AS hi_perplexity
+FROM d LEFT JOIN per p ON p.id = d.id
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=4, n=3)
@@ -953,6 +994,79 @@ SELECT 'http://shop.test/o/' || CAST(l_orderkey AS VARCHAR) AS url_norm,
        CAST(l_partkey AS VARCHAR) AS text,
        CAST(l_linenumber AS VARCHAR) AS line
 FROM lineitem WHERE l_orderkey < {_SHOP_MAX_OKEY}
+"""
+
+
+def q_main_text(spark, sf_dir):
+    """Boilerplate removal (pipeline canon; operators/maintext.py:
+    extract_main_text) over relationally-defined HTML so DuckDB re-derives
+    the expected main text exactly. One page per order: a nav + footer
+    (suppressed subtrees), a div wrapper whose short direct text
+    ("posted today") is a counted-but-dropped block, and one <p> block per
+    lineitem — "item N part K", gaining " in stock and shipping now"
+    (9 words ≥ min_words=5) when l_quantity >= 25, and wrapped whole in an
+    anchor (link density 1.0 > 0.5 → dropped) when l_partkey % 3 == 0.
+    Kept iff quantity >= 25 AND partkey % 3 != 0; main_text = kept block
+    texts in document order joined by newline."""
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < _SHOP_MAX_OKEY)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+    txt = F.concat(
+        F.lit("item "), F.col("l_linenumber").cast("string"),
+        F.lit(" part "), F.col("l_partkey").cast("string"),
+        F.when(F.col("l_quantity") >= 25,
+               F.lit(" in stock and shipping now")).otherwise(F.lit("")))
+    block = F.when(
+        F.col("l_partkey") % 3 == 0,
+        F.concat(F.lit('<p><a href="/p/'),
+                 F.col("l_partkey").cast("string"), F.lit('">'), txt,
+                 F.lit("</a></p>"))
+    ).otherwise(F.concat(F.lit("<p>"), txt, F.lit("</p>")))
+    pages = (li.groupBy("l_orderkey")
+             .agg(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("l_linenumber").alias("k"),
+                     F.col("l_partkey").alias("k2"), block.alias("a")))),
+                 lambda s: s["a"])).alias("blocks"))
+             .select(F.concat(F.lit("http://shop.test/o/"),
+                              F.col("l_orderkey").cast("string"))
+                     .alias("url_norm"),
+                     F.concat(
+                         F.lit('<html><body><nav><li>home</li>'
+                               '<li>about</li></nav>'
+                               '<div class="c">posted today'),
+                         F.col("blocks"),
+                         F.lit('</div><footer><p>copyright shop</p>'
+                               '</footer></body></html>'))
+                     .alias("body_html")))
+    return MT.extract_main_text(pages, keep=("url_norm",),
+                                min_words=5, max_link_density=0.5)
+
+
+SQL_MAIN_TEXT = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+  FROM lineitem WHERE l_orderkey < {_SHOP_MAX_OKEY}),
+blocks AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         'item ' || CAST(l_linenumber AS VARCHAR)
+         || ' part ' || CAST(l_partkey AS VARCHAR)
+         || CASE WHEN l_quantity >= 25
+                 THEN ' in stock and shipping now' ELSE '' END AS txt,
+         (l_quantity >= 25 AND l_partkey % 3 <> 0) AS kept
+  FROM li),
+agg AS (
+  SELECT l_orderkey,
+         string_agg(CASE WHEN kept THEN txt END, chr(10)
+                    ORDER BY l_linenumber, l_partkey) AS main_text,
+         count(*) AS nb,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS nk
+  FROM blocks GROUP BY l_orderkey)
+SELECT 'http://shop.test/o/' || CAST(l_orderkey AS VARCHAR) AS url_norm,
+       coalesce(main_text, '') AS main_text,
+       CAST(nb + 1 AS INT) AS n_blocks,
+       CAST(nk AS INT) AS n_kept
+FROM agg
 """
 
 
@@ -1502,6 +1616,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
+    "lm_perplexity": q_lm_perplexity,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1521,6 +1636,7 @@ QUERIES = {
     "crawl_bfs_order": q_crawl_bfs_order,
     "crawl_dfs_order": q_crawl_dfs_order,
     "css_select": q_css_select,
+    "main_text": q_main_text,
     "image_decode_meta": q_image_decode_meta,
     "audio_decode_meta": q_audio_decode_meta,
     "video_decode_meta": q_video_decode_meta,
@@ -1550,6 +1666,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
@@ -1565,6 +1682,7 @@ ORACLES = {
     "crawl_bfs_order": SQL_CRAWL_BFS_ORDER,
     "crawl_dfs_order": SQL_CRAWL_DFS_ORDER,
     "css_select": SQL_CSS_SELECT,
+    "main_text": SQL_MAIN_TEXT,
     "image_decode_meta": SQL_IMAGE_DECODE_META,
     "audio_decode_meta": SQL_AUDIO_DECODE_META,
     "video_decode_meta": SQL_VIDEO_DECODE_META,

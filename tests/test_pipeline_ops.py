@@ -541,3 +541,60 @@ def test_repetition_stats_matches_python_reference(spark):
         assert r["total_ngrams"] == total, (i, text)
         assert r["top_ngram_frac"] == pytest.approx(top), (i, text)
         assert r["dup_ngram_frac"] == pytest.approx(dup), (i, text)
+
+
+def test_lm_crossentropy_matches_python_reference(spark):
+    """Seeded randomized batch scored against a pure-Python model: the
+    reference slice trains an add-one-smoothed unigram LM truncated to
+    the top-V (count DESC, token) entries; every doc's mean surprisal,
+    token count, and threshold flag must match exactly. V is smaller
+    than the true vocab so the OOV mass path is exercised."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    docs = []
+    for i in range(120):
+        n = rng.randint(0, 15)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    ref_docs = [d for d in docs if d[0] % 3 == 0]
+    V = 10
+    cnt = Counter(t for _, tx in ref_docs for t in tx.split())
+    model = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    total, vs = sum(model.values()), len(model)
+
+    def score(text):
+        toks = text.split()
+        if not toks:
+            return (0, 0.0, False)
+        s = sum(math.log2(total + vs + 1) - math.log2(model.get(t, 0) + 1)
+                for t in toks)
+        x = round(s / len(toks), 4)
+        return (len(toks), x, x > 5.0)
+
+    sdocs = spark.createDataFrame(docs, ["doc_id", "text"])
+    sref = sdocs.filter(F.col("doc_id") % 3 == 0)
+    got = {r["doc_id"]: r for r in Q.lm_crossentropy(
+        sdocs, sref, vocab_size=V, threshold=5.0).collect()}
+    assert len(got) == 120
+    for i, tx in docs:
+        n, x, hi = score(tx)
+        r = got[i]
+        assert r["n_tokens"] == n, (i, tx)
+        assert r["xent_bits"] == pytest.approx(x, abs=1e-9), (i, tx)
+        assert bool(r["hi_perplexity"]) == hi, (i, tx)
+
+
+def test_unigram_lm_truncation_deterministic(spark):
+    """Vocab-cap ties break by token, so the retained model is identical
+    at any parallelism (and matches DuckDB's ORDER BY ... LIMIT twin)."""
+    ref = spark.createDataFrame(
+        [(0, "bb aa cc aa bb cc dd")], ["doc_id", "text"])
+    kept = sorted(r["token"] for r in
+                  Q.unigram_lm(ref, vocab_size=3).collect())
+    # aa/bb/cc all have count 2, dd has 1; cap 3 keeps the lexicographic
+    # first three of the tied group
+    assert kept == ["aa", "bb", "cc"]
