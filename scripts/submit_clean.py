@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """spark-submit entry point for the TRAINING-DATA CLEANING pipeline (the
-pipeline-brief ops end-to-end): raw documents parquet → near-dup removal
+pipeline-brief ops end-to-end): raw documents parquet → optional
+main-content extraction from HTML (boilerplate removal) → optional
+LM-perplexity filter against a clean reference corpus → near-dup removal
 (MinHash-LSH pairs → connected components → keep-one-per-cluster) →
 repetition filter → optional eval-set decontamination → PII scrubbing →
 cleaned corpus parquet + one JSON metrics line.
@@ -9,13 +11,15 @@ cleaned corpus parquet + one JSON metrics line.
     spark-submit --py-files /tmp/roddy_spark.zip \\
         scripts/submit_clean.py \\
         --docs /path/to/documents_parquet --out /path/to/clean \\
+        [--html-col body_html] [--lm-ref /path/to/wiki_parquet] \\
         [--eval-set /path/to/eval_parquet] [--prefer quality_col]
 
 Input schema: ``doc_id bigint, text string`` (+ any passthrough columns;
-``--prefer`` names a numeric column used to pick each cluster's
-survivor, defaulting to min doc_id). Prints ONE JSON line:
-{input_docs, near_dup_removed, repetitive_removed,
- contaminated_removed, kept, pii_redactions}.
+with ``--html-col`` the named column holds raw HTML and replaces text
+after extraction; ``--prefer`` names a numeric column used to pick each
+cluster's survivor, defaulting to min doc_id). Prints ONE JSON line:
+{input_docs, boilerplate_removed, lm_removed, near_dup_removed,
+ repetitive_removed, contaminated_removed, kept, pii_redactions}.
 
 Every stage is the operator the contract oracles verify
 (textdedup/textquality/sampling/functions.text) — this script only
@@ -43,6 +47,17 @@ def parse_args():
                         "docs sharing an n-gram with it are removed")
     p.add_argument("--prefer", default=None,
                    help="numeric column deciding each cluster's survivor")
+    p.add_argument("--html-col", default=None,
+                   help="if set, docs carry raw HTML in this column; main "
+                        "content is extracted first (boilerplate removal) "
+                        "and becomes the text column; docs whose main text "
+                        "is empty are dropped")
+    p.add_argument("--lm-ref", default=None,
+                   help="optional clean-reference parquet (text column); "
+                        "docs above --lm-threshold bits of mean token "
+                        "surprisal under its unigram LM are removed")
+    p.add_argument("--lm-threshold", type=float, default=10.0)
+    p.add_argument("--lm-vocab", type=int, default=50000)
     p.add_argument("--minhash-threshold", type=float, default=0.7)
     p.add_argument("--decontaminate-ngram", type=int, default=13)
     p.add_argument("--top-frac", type=float, default=0.20)
@@ -63,6 +78,33 @@ def main():
 
     docs = spark.read.parquet(args.docs)
     n_input = docs.count()
+
+    n_current = n_input
+
+    # 0a. optional boilerplate removal: raw HTML -> main content text
+    # (one streaming parse per page, bodies cross into Python once)
+    n_boilerplate = 0
+    if args.html_col:
+        from roddy_spark.operators import maintext as MT
+        keep_cols = tuple(c for c in docs.columns if c != args.html_col)
+        mt = MT.extract_main_text(docs, html_col=args.html_col,
+                                  keep=keep_cols)
+        docs = (mt.filter(F.col("main_text") != "")
+                .withColumnRenamed("main_text", "text")
+                .drop("n_blocks", "n_kept"))
+        n_after = docs.count()
+        n_boilerplate, n_current = n_input - n_after, n_after
+
+    # 0b. optional LM perplexity filter against a clean reference corpus
+    n_lm = 0
+    if args.lm_ref:
+        ref = spark.read.parquet(args.lm_ref).select("text")
+        xent = TQ.lm_crossentropy(docs, ref, vocab_size=args.lm_vocab,
+                                  threshold=args.lm_threshold)
+        ok_ids = xent.filter(~F.col("hi_perplexity")).select("doc_id")
+        docs = docs.join(ok_ids, "doc_id")
+        n_after = docs.count()
+        n_lm, n_current = n_current - n_after, n_after
 
     # 1. near-dup removal: LSH pairs -> components -> keep one per cluster
     pairs = TD.minhash_lsh_pairs(docs, threshold=args.minhash_threshold)
@@ -109,7 +151,9 @@ def main():
     n_stage2 = (n_kept + n_contaminated) if args.eval_set else n_kept
     print(json.dumps({
         "input_docs": n_input,
-        "near_dup_removed": n_input - n_stage1,
+        "boilerplate_removed": n_boilerplate,
+        "lm_removed": n_lm,
+        "near_dup_removed": n_current - n_stage1,
         "repetitive_removed": n_stage1 - n_stage2,
         "contaminated_removed": n_contaminated,
         "kept": n_kept,
