@@ -75,7 +75,7 @@ QUERY_NAMES = [
     "sessionize",
     "hourly_rollup",
     "dedup_clusters", "decontaminate", "repetition_stats",
-    "lm_perplexity", "main_text",
+    "lm_perplexity", "main_text", "line_dedup", "c4_filters",
 ]
 
 

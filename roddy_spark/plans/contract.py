@@ -647,6 +647,125 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb global line deduplication (operators/lines.py:
+    dedup_lines): every doc is given three lines — its own text, a
+    universal boilerplate line, and the text of partner doc (doc_id % 50)
+    — so the boilerplate line survives in exactly one document, partner
+    lines survive only at their first (doc, position) occurrence, and
+    self-partnered docs (doc_id < 50) dedup within the document. Keep
+    rule: first global occurrence by (doc_id, line_no) of each
+    lowercased, whitespace-collapsed line."""
+    from roddy_spark.operators import lines as LN
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = (docs.filter(F.col("doc_id") < 50)
+               .select(F.col("doc_id").alias("pid"),
+                       F.col("text").alias("ptext")))
+    multi = (docs.join(F.broadcast(partner),
+                       docs.doc_id % 50 == partner.pid)
+             .select("doc_id",
+                     F.concat_ws("\n", F.col("text"),
+                                 F.lit("follow us on social media"),
+                                 F.col("ptext")).alias("text")))
+    return LN.dedup_lines(multi)
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (SELECT doc_id, text FROM documents),
+multi AS (
+  SELECT b.doc_id AS id,
+         b.text || chr(10) || 'follow us on social media' || chr(10)
+         || p.text AS text
+  FROM base b JOIN base p ON p.doc_id = b.doc_id % 50),
+l AS (
+  SELECT id, u.s.no AS line_no, u.s.line AS line,
+         regexp_replace(lower(trim(u.s.line)), '\\s+', ' ', 'g') AS norm
+  FROM (SELECT id, string_split(text, chr(10)) AS ls FROM multi),
+       unnest(list_transform(generate_series(1, len(ls)),
+                             i -> {'no': i, 'line': ls[i]})) AS u(s)),
+nz AS (SELECT * FROM l WHERE norm <> ''),
+w AS (
+  SELECT id, line_no, line,
+         row_number() OVER (PARTITION BY norm
+                            ORDER BY id, line_no) AS rn
+  FROM nz),
+k AS (
+  SELECT id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM w WHERE rn = 1 GROUP BY id),
+c AS (SELECT id, count(*) AS n_lines FROM nz GROUP BY id)
+SELECT c.id AS doc_id, coalesce(k.text, '') AS text,
+       CAST(c.n_lines AS INT) AS n_lines,
+       CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept
+FROM c LEFT JOIN k ON k.id = c.id
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (operators/lines.py:c4_quality_filters): docs
+    get four synthetic lines — their text with a terminal period, their
+    raw text (usually no terminal mark), a 2-word teaser, and a known-good
+    sentence — plus a "lorem ipsum" line on doc_id % 23 == 7 and a
+    curly-brace code line on doc_id % 29 == 11. Line rule: terminal
+    punctuation + >= 5 words; doc rule: >= 3 sentence marks in retained
+    text, no lorem ipsum, no braces in the ORIGINAL text."""
+    from roddy_spark.operators import lines as LN
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.col("text"),
+            F.lit("click here"),
+            F.lit("this closing line has six words."),
+            F.when(F.col("doc_id") % 23 == 7,
+                   F.lit("lorem ipsum dolor sit amet today.")),
+            F.when(F.col("doc_id") % 29 == 11,
+                   F.lit("function f() { return 1; }"))).alias("text"))
+    return LN.c4_quality_filters(multi)
+
+
+SQL_C4_FILTERS = """
+WITH multi AS (
+  SELECT doc_id,
+         text || '.' || chr(10) || text || chr(10) || 'click here'
+         || chr(10) || 'this closing line has six words.'
+         || CASE WHEN doc_id % 23 = 7
+                 THEN chr(10) || 'lorem ipsum dolor sit amet today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 29 = 11
+                 THEN chr(10) || 'function f() { return 1; }'
+                 ELSE '' END AS text
+  FROM documents),
+f AS (
+  SELECT doc_id, text AS orig, string_split(text, chr(10)) AS ls
+  FROM multi),
+k AS (
+  SELECT doc_id, orig, ls,
+         list_transform(
+           list_filter(ls, l -> regexp_matches(trim(l), '[.!?\"]$')
+             AND len(list_filter(string_split(trim(l), ' '),
+                                 w -> w <> '')) >= 5),
+           l -> trim(l)) AS kept
+  FROM f),
+o AS (
+  SELECT doc_id, orig, ls, kept,
+         array_to_string(kept, chr(10)) AS ktxt
+  FROM k)
+SELECT doc_id, ktxt AS text,
+       CAST(len(list_filter(ls, l -> trim(l) <> '')) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(ktxt) - len(translate(ktxt, '.!?', '')) AS INT)
+         AS n_sentences,
+       (len(ktxt) - len(translate(ktxt, '.!?', '')) >= 3
+        AND NOT contains(lower(orig), 'lorem ipsum')
+        AND NOT contains(orig, '{')
+        AND NOT contains(orig, '}')) AS keep_doc
+FROM o
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity scoring (pipeline canon; operators/
     textquality.py:lm_crossentropy): an add-one-smoothed unigram LM is
@@ -1617,6 +1736,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "line_dedup": q_line_dedup,
+    "c4_filters": q_c4_filters,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
@@ -1667,6 +1788,8 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "line_dedup": SQL_LINE_DEDUP,
+    "c4_filters": SQL_C4_FILTERS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash": SQL_SIMHASH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

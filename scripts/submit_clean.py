@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """spark-submit entry point for the TRAINING-DATA CLEANING pipeline (the
 pipeline-brief ops end-to-end): raw documents parquet → optional
-main-content extraction from HTML (boilerplate removal) → optional
-LM-perplexity filter against a clean reference corpus → near-dup removal
+main-content extraction from HTML (boilerplate removal) → optional C4
+line/doc rules + global exact line dedup → optional LM-perplexity filter
+against a clean reference corpus → near-dup removal
 (MinHash-LSH pairs → connected components → keep-one-per-cluster) →
 repetition filter → optional eval-set decontamination → PII scrubbing →
 cleaned corpus parquet + one JSON metrics line.
@@ -18,8 +19,9 @@ Input schema: ``doc_id bigint, text string`` (+ any passthrough columns;
 with ``--html-col`` the named column holds raw HTML and replaces text
 after extraction; ``--prefer`` names a numeric column used to pick each
 cluster's survivor, defaulting to min doc_id). Prints ONE JSON line:
-{input_docs, boilerplate_removed, lm_removed, near_dup_removed,
- repetitive_removed, contaminated_removed, kept, pii_redactions}.
+{input_docs, boilerplate_removed, c4_removed, line_dedup_emptied,
+ lm_removed, near_dup_removed, repetitive_removed, contaminated_removed,
+ kept, pii_redactions}.
 
 Every stage is the operator the contract oracles verify
 (textdedup/textquality/sampling/functions.text) — this script only
@@ -56,6 +58,14 @@ def parse_args():
                    help="optional clean-reference parquet (text column); "
                         "docs above --lm-threshold bits of mean token "
                         "surprisal under its unigram LM are removed")
+    p.add_argument("--c4", action="store_true",
+                   help="apply the C4 line rules (terminal punctuation + "
+                        "min words per line) and doc rules (3+ sentences, "
+                        "no lorem ipsum / braces) before deduplication")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="keep only each line's first global occurrence "
+                        "(C4/RefinedWeb exact line dedup); docs emptied "
+                        "by it are dropped")
     p.add_argument("--lm-threshold", type=float, default=10.0)
     p.add_argument("--lm-vocab", type=int, default=50000)
     p.add_argument("--minhash-threshold", type=float, default=0.7)
@@ -95,7 +105,26 @@ def main():
         n_after = docs.count()
         n_boilerplate, n_current = n_input - n_after, n_after
 
-    # 0b. optional LM perplexity filter against a clean reference corpus
+    # 0b. optional C4 line/doc rules, then global exact line dedup
+    n_c4 = 0
+    n_line_emptied = 0
+    if args.c4 or args.line_dedup:
+        from roddy_spark.operators import lines as LN
+        if args.c4:
+            c4 = LN.c4_quality_filters(docs)
+            good = (c4.filter(F.col("keep_doc") & (F.col("text") != ""))
+                    .select("doc_id", "text"))
+            docs = docs.drop("text").join(good, "doc_id")
+            n_after = docs.count()
+            n_c4, n_current = n_current - n_after, n_after
+        if args.line_dedup:
+            dl = (LN.dedup_lines(docs).filter(F.col("text") != "")
+                  .select("doc_id", "text"))
+            docs = docs.drop("text").join(dl, "doc_id")
+            n_after = docs.count()
+            n_line_emptied, n_current = n_current - n_after, n_after
+
+    # 0c. optional LM perplexity filter against a clean reference corpus
     n_lm = 0
     if args.lm_ref:
         ref = spark.read.parquet(args.lm_ref).select("text")
@@ -152,6 +181,8 @@ def main():
     print(json.dumps({
         "input_docs": n_input,
         "boilerplate_removed": n_boilerplate,
+        "c4_removed": n_c4,
+        "line_dedup_emptied": n_line_emptied,
         "lm_removed": n_lm,
         "near_dup_removed": n_current - n_stage1,
         "repetitive_removed": n_stage1 - n_stage2,
