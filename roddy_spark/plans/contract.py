@@ -647,6 +647,72 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC ingestion round-trip (sources/warc.py): each archive group
+    (doc_id % 16) is assembled by the REAL deterministic writer — one
+    HTTP response record per document, status/content-type closed-form
+    functions of doc_id, per-record gzip members on even archives — and
+    immediately decoded by the REAL parser inside one applyInPandas
+    pass. The DuckDB twin re-derives every parsed field (status, type,
+    payload byte length, payload hash) straight from the documents
+    table, so a writer/parser that corrupts framing, drops a record,
+    mis-splits HTTP headers, or breaks a gzip member hash-mismatches."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .withColumn("arch", (F.col("doc_id") % 16).cast("int")))
+
+    def build_and_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        from roddy_spark.sources import warc as W
+        pdf = pdf.sort_values("doc_id")
+        arch = int(pdf["arch"].iloc[0])
+        recs = []
+        for i, (did, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+            did = int(did)
+            body = text.encode("utf-8")
+            status = 404 if did % 11 == 7 else 200
+            ctype = "text/html" if did % 2 == 0 else "text/plain"
+            recs.append(W.build_record(
+                "response", f"http://warc.test/doc/{did}",
+                W.build_http_response(body, status, ctype), seq=i))
+        data = W.build_warc(recs, gzip_per_record=(arch % 2 == 0))
+        rows = []
+        for rec in W.parse_warc(data):
+            assert rec["error"] is None, rec["error"]
+            payload = rec["payload"]
+            rows.append({
+                "doc_id": int(rec["url"].rsplit("/", 1)[1]),
+                "url": rec["url"],
+                "http_status": rec["http_status"],
+                "content_type": rec["content_type"],
+                "n_bytes": len(payload),
+                "body_h32": int(hashlib.md5(payload).hexdigest()[:8], 16),
+            })
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "url", "http_status", "content_type", "n_bytes",
+            "body_h32"])
+
+    return docs.groupBy("arch").applyInPandas(
+        build_and_parse,
+        "doc_id long, url string, http_status int, content_type string, "
+        "n_bytes int, body_h32 long")
+
+
+SQL_WARC_PARSE = """
+SELECT doc_id,
+       'http://warc.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 11 = 7 THEN 404 ELSE 200 END AS INT)
+         AS http_status,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
+         AS content_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS body_h32
+FROM documents
+"""
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb global line deduplication (operators/lines.py:
     dedup_lines): every doc is given three lines — its own text, a
@@ -1736,6 +1802,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "warc_parse": q_warc_parse,
     "line_dedup": q_line_dedup,
     "c4_filters": q_c4_filters,
     "minhash_signatures": q_minhash_signatures,
@@ -1788,6 +1855,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "warc_parse": SQL_WARC_PARSE,
     "line_dedup": SQL_LINE_DEDUP,
     "c4_filters": SQL_C4_FILTERS,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,

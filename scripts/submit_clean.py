@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--docs", required=True,
-                   help="input documents parquet (doc_id, text, ...)")
+                   help="input documents parquet (doc_id, text, ...), or "
+                        "a directory of WARC archives with --warc")
+    p.add_argument("--warc", action="store_true",
+                   help="treat --docs as WARC archive(s): HTTP response "
+                        "records become docs (doc_id = xxhash64(url), "
+                        "HTML payload in body_html; implies --html-col "
+                        "body_html unless one is given)")
     p.add_argument("--out", required=True, help="cleaned-corpus output dir")
     p.add_argument("--eval-set", default=None,
                    help="optional eval/benchmark parquet (text column); "
@@ -86,7 +92,21 @@ def main():
     from roddy_spark.operators import textdedup as TD
     from roddy_spark.operators import textquality as TQ
 
-    docs = spark.read.parquet(args.docs)
+    if args.warc:
+        # WARC archives -> one doc per successful HTML response record
+        from roddy_spark.sources import warc as WA
+        recs = WA.read_warc(spark, args.docs, types=("response",))
+        docs = (recs.filter(F.col("error").isNull()
+                            & (F.col("http_status") == 200)
+                            & F.col("content_type").startswith("text/"))
+                .select(F.xxhash64("url").alias("doc_id"),
+                        F.col("url"),
+                        F.col("payload").cast("string")
+                        .alias("body_html")))
+        if not args.html_col:
+            args.html_col = "body_html"
+    else:
+        docs = spark.read.parquet(args.docs)
     n_input = docs.count()
 
     n_current = n_input
