@@ -647,6 +647,51 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-graph PageRank (operators/linkgraph.py) over a relational
+    host graph: src = l_suppkey % 150 (only < 120, so hosts 120-149 are
+    DANGLING — dst-only), dst = (l_partkey*7) % 150. Integer-quantized
+    arithmetic makes the 5-iteration result bit-identical across engines
+    and parallelism; the DuckDB twin unrolls the same recurrence."""
+    from roddy_spark.operators import linkgraph as LG
+    li = (_read(spark, sf_dir, "lineitem")
+          .select((F.col("l_suppkey") % 150).alias("src"),
+                  ((F.col("l_partkey") * 7) % 150).alias("dst"))
+          .filter(F.col("src") < 120))
+    return LG.pagerank(li, iterations=5)
+
+
+def _pagerank_sql(iters: int = 5, dp: int = 85, q: int = 10**12) -> str:
+    parts = [f"""WITH edges AS (
+  SELECT DISTINCT l_suppkey % 150 AS src, (l_partkey * 7) % 150 AS dst
+  FROM lineitem WHERE l_suppkey % 150 < 120),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, {q} // (SELECT n FROM p) AS rank_q FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(r.rank_q // d.out_deg) AS c_sum
+  FROM edges e JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+dg{i} AS (SELECT coalesce(sum(r.rank_q), 0) AS d_sum
+  FROM r{i - 1} r LEFT JOIN deg d ON d.src = r.node
+  WHERE d.src IS NULL),
+r{i} AS (SELECT n.node,
+    ({q} * {100 - dp}) // (100 * p.n)
+    + ({dp} * (coalesce(c.c_sum, 0) + dg.d_sum // p.n)) // 100 AS rank_q
+  FROM nodes n CROSS JOIN p CROSS JOIN dg{i} dg
+  LEFT JOIN c{i} c ON c.node = n.node)""")
+    parts.append(f"""
+SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       round(rank_q / {float(q)}, 6) AS rank
+FROM r{iters}""")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 def q_warc_parse(spark, sf_dir):
     """WARC ingestion round-trip (sources/warc.py): each archive group
     (doc_id % 16) is assembled by the REAL deterministic writer — one
@@ -1802,6 +1847,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "pagerank": q_pagerank,
     "warc_parse": q_warc_parse,
     "line_dedup": q_line_dedup,
     "c4_filters": q_c4_filters,
@@ -1855,6 +1901,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "pagerank": SQL_PAGERANK,
     "warc_parse": SQL_WARC_PARSE,
     "line_dedup": SQL_LINE_DEDUP,
     "c4_filters": SQL_C4_FILTERS,
