@@ -647,6 +647,29 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-25 keyword retrieval (operators/retrieval.py:bm25_topk):
+    row-local higher-order-function term frequencies (no explode, no
+    UDF), one global stats aggregate broadcast back, distributed
+    TakeOrdered; 4-decimal rounded scores with id tiebreak make the
+    top-k set engine-stable. The SQL twin is generated by the SAME
+    module (bm25_sql_twin) so the expression shapes cannot drift."""
+    from roddy_spark.operators import retrieval as RV
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return RV.bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+def _bm25_oracle() -> str:
+    from roddy_spark.operators import retrieval as RV
+    return RV.bm25_sql_twin(_BM25_TERMS, k=25)
+
+
+SQL_BM25 = _bm25_oracle()
+
+
 def q_pagerank(spark, sf_dir):
     """Link-graph PageRank (operators/linkgraph.py) over a relational
     host graph: src = l_suppkey % 150 (only < 120, so hosts 120-149 are
@@ -1847,6 +1870,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "bm25": q_bm25,
     "pagerank": q_pagerank,
     "warc_parse": q_warc_parse,
     "line_dedup": q_line_dedup,
@@ -1901,6 +1925,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "bm25": SQL_BM25,
     "pagerank": SQL_PAGERANK,
     "warc_parse": SQL_WARC_PARSE,
     "line_dedup": SQL_LINE_DEDUP,
