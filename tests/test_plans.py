@@ -208,3 +208,55 @@ def test_fetch_join_byte_bound_takes_smj_path(spark, monkeypatch):
     assert seen, "small frontier below both bounds must broadcast"
     assert got_smj == got_bcast
     assert {s for (_, s, _) in got_smj} == {200, 404}
+
+
+def test_c4_filters_zero_exchange(spark, sf_dir):
+    """c4_quality_filters claims ZERO shuffle: pure project over the scan
+    (higher-order functions, no explode, no Python)."""
+    from roddy_spark.operators import lines as LN
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan_of(LN.c4_quality_filters(docs), "simple")
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p          # no explode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_dedup_lines_two_partial_agg_exchanges(spark, sf_dir):
+    """dedup_lines claims exactly the two aggregation exchanges (by line,
+    by doc) with map-side partial aggregation before each, and no
+    join-back of the corpus against the winner set (the min_by aggregate
+    IS the winner set). The counts/kept join keys both sides by id."""
+    from roddy_spark.operators import lines as LN
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan_of(LN.dedup_lines(docs), "simple")
+    # exchanges: hash(norm), hash(id) for kept, hash(id) for counts, and
+    # the final counts-kept join reuses those — allow <= 4, require the
+    # skew-critical partial_min_by before the norm exchange
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert "partial_min_by" in p or "partial_minby" in p.lower(), p
+
+
+def test_bm25_no_explode_one_stats_exchange(spark, sf_dir):
+    """bm25_topk claims zero explode/UDF, a broadcast one-row stats join,
+    and TakeOrdered instead of a global sort."""
+    from roddy_spark.operators.retrieval import bm25_topk
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan_of(bm25_topk(docs, ["spark", "join"], k=10), "simple")
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert ("BroadcastExchange" in p
+            or "BroadcastNestedLoopJoin" in p), p
+
+
+def test_pagerank_iteration_partial_agg(spark):
+    """Each PageRank iteration partial-aggregates contributions before
+    the dst exchange (hub skew collapses map-side)."""
+    from roddy_spark.operators.linkgraph import pagerank
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 9) for i in range(40)], ["src", "dst"])
+    p = plan_of(pagerank(edges, iterations=1), "simple")
+    assert "partial_sum" in p, p
