@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "hourly_rollup",
     "dedup_clusters", "decontaminate", "repetition_stats",
     "lm_perplexity", "main_text", "line_dedup", "c4_filters",
-    "warc_parse", "pagerank", "bm25",
+    "warc_parse", "pagerank", "bm25", "normalize_text",
 ]
 
 

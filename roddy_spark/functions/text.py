@@ -10,6 +10,7 @@ DuckDB (see __spark_entry__.oracle_sql), which is why the hash primitive is
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -184,3 +185,42 @@ def scrub_pii(c: Column | str) -> Column:
     s = F.regexp_replace(_col(c), PII_EMAIL, "<EMAIL>")
     s = F.regexp_replace(s, PII_IPV4, "<IP>")
     return F.regexp_replace(s, PII_PHONE, "<PHONE>")
+
+
+# Unicode normalization (pipeline canon: normalize before tokenizing,
+# fingerprinting, or deduplicating — NFC-vs-decomposed variants of the
+# same text must collide). The JVM-expressible part (zero-width strip,
+# control strip, unicode-space fold) is plain regexp_replace; only the
+# NFC recomposition itself needs Python, as one Arrow-batched pandas UDF
+# (Spark has no built-in unicode normalizer). DuckDB twins: the same
+# classes as RE2 \x{...} escapes + nfc_normalize().
+ZERO_WIDTH = "\u200b\u200c\u200d\ufeff\u00ad"
+CTRL = "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+UNI_SPACE = "\u00a0\u2000-\u200a\u202f\u205f\u3000"
+
+
+def clean_unicode(c: Column | str) -> Column:
+    """Strip zero-widths + soft hyphen, drop control chars (keeping tab /
+    newline / CR), fold exotic unicode spaces to ASCII space — all
+    JVM-side."""
+    s = F.regexp_replace(_col(c), f"[{ZERO_WIDTH}]", "")
+    s = F.regexp_replace(s, f"[{CTRL}]", "")
+    return F.regexp_replace(s, f"[{UNI_SPACE}]", " ")
+
+
+def nfc(c: Column | str) -> Column:
+    """Unicode NFC recomposition — the one step Spark built-ins cannot
+    express; a vectorized Arrow-batched pandas UDF, never per-row."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return _nfc(_col(c))
+
+
+def normalize_text(c: Column | str) -> Column:
+    """clean_unicode then NFC (cleanup first so the UDF sees less)."""
+    return nfc(clean_unicode(c))

@@ -647,6 +647,59 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization (functions/text.py:normalize_text): plant
+    combining marks, zero-widths, controls, and exotic spaces into
+    slices of the corpus closed-form, then clean + NFC-recompose. The
+    JVM does the class strips/folds; only NFC itself crosses into an
+    Arrow-batched pandas UDF. DuckDB re-derives with its own RE2
+    classes + nfc_normalize, so both engines must produce byte-equal
+    strings."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" cafe\u0301 de\u0301ja\u0300"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.lit("\u00a0nb\x01sp\x7f"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2,
+               F.lit("\u3000wide\u200bgap\u2003end"))
+        .otherwise(F.lit(""))))
+    return (planted
+            .withColumn("_norm", T.normalize_text("text"))
+            .select("doc_id", F.col("_norm").alias("text"),
+                    (F.col("_norm") != F.col("text")).alias("changed")))
+
+
+_NORM_EXPR = """nfc_normalize(
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
+      '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g'),
+      '[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]', ' ',
+      'g'))"""
+
+SQL_NORMALIZE_TEXT = f"""
+WITH p AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' cafe' || chr(769) || ' de' || chr(769) || 'ja'
+                 || chr(768) ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN chr(160) || 'nb' || chr(1) || 'sp' || chr(127)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 2
+            THEN chr(12288) || 'wide' || chr(8203) || 'gap' || chr(8195)
+                 || 'end' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  {_NORM_EXPR} AS text,
+  {_NORM_EXPR} <> text AS changed
+FROM p
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1870,6 +1923,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "normalize_text": q_normalize_text,
     "bm25": q_bm25,
     "pagerank": q_pagerank,
     "warc_parse": q_warc_parse,
@@ -1925,6 +1979,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "bm25": SQL_BM25,
     "pagerank": SQL_PAGERANK,
     "warc_parse": SQL_WARC_PARSE,

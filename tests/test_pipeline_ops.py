@@ -598,3 +598,26 @@ def test_unigram_lm_truncation_deterministic(spark):
     # aa/bb/cc all have count 2, dd has 1; cap 3 keeps the lexicographic
     # first three of the tied group
     assert kept == ["aa", "bb", "cc"]
+
+
+def test_normalize_text_unicode(spark):
+    rows = [
+        (1, "café meets déjà vu"),   # NFC recompose
+        (2, "a​b­c﻿d"),                 # zero-widths out
+        (3, "x y z　w"),                 # spaces folded
+        (4, "keep\ttabs\nand\rnewlines"),              # kept controls
+        (5, "drop\x01bad\x1fctl\x7f"),                 # stripped controls
+        (6, "plain ascii stays put"),
+        (7, None),
+    ]
+    from roddy_spark.functions import text as T
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", T.normalize_text("text").alias("n")).collect()}
+    assert got[1] == "café meets déjà vu"
+    assert got[2] == "abcd"
+    assert got[3] == "x y z w"
+    assert got[4] == "keep\ttabs\nand\rnewlines"
+    assert got[5] == "dropbadctl"
+    assert got[6] == "plain ascii stays put"
+    assert got[7] is None
