@@ -150,3 +150,49 @@ def lm_crossentropy(docs: DataFrame, ref: DataFrame,
         F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
                 4).alias("xent_bits"))
     return out.withColumn("hi_perplexity", F.col("xent_bits") > threshold)
+
+
+def nb_quality_score(docs: DataFrame, good_ref: DataFrame,
+                     bad_ref: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", vocab_size: int = 500,
+                     threshold: float = 0.0) -> DataFrame:
+    """DCLM/fastText-style contrastive quality filter as Naive-Bayes
+    log-odds: two add-one-smoothed unigram LMs — one trained on a
+    known-good reference (Wikipedia in the production recipe), one on a
+    known-bad slice (raw crawl) — and each document scores the mean over
+    tokens of log2 P(t|good) - log2 P(t|bad). Positive means the good
+    model explains the document better. ``good`` flags score > threshold
+    (computed from the 4-decimal-rounded score so engines agree).
+
+    Scale shape: both models are fixed-size broadcasts (vocab cap =
+    the scale contract, as in lm_crossentropy); scoring is explode →
+    two broadcast joins → one partial-aggregated groupBy on the doc id,
+    so only ~one row per document crosses the exchange."""
+    gm = unigram_lm(good_ref, text_col, vocab_size) \
+        .withColumnRenamed("tok_count", "g_cnt")
+    bm = unigram_lm(bad_ref, text_col, vocab_size) \
+        .withColumnRenamed("tok_count", "b_cnt")
+    gs = gm.agg(F.sum("g_cnt").cast("double").alias("g_total"),
+                F.count("*").cast("double").alias("g_vocab"))
+    bs = bm.agg(F.sum("b_cnt").cast("double").alias("b_total"),
+                F.count("*").cast("double").alias("b_vocab"))
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("token"))
+    scored = (tok.join(F.broadcast(gm), "token", "left")
+              .join(F.broadcast(bm), "token", "left")
+              .join(F.broadcast(gs)).join(F.broadcast(bs)))
+    odds = (
+        (F.log2(F.coalesce(F.col("g_cnt"), F.lit(0)).cast("double")
+                + F.lit(1.0))
+         - F.log2(F.col("g_total") + F.col("g_vocab") + F.lit(1.0)))
+        - (F.log2(F.coalesce(F.col("b_cnt"), F.lit(0)).cast("double")
+                  + F.lit(1.0))
+           - F.log2(F.col("b_total") + F.col("b_vocab") + F.lit(1.0))))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isNotNull(), odds)).alias("_s"))
+    out = per_doc.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
+                4).alias("log_odds"))
+    return out.withColumn("good", F.col("log_odds") > threshold)

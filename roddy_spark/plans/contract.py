@@ -647,6 +647,51 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_nb_quality(spark, sf_dir):
+    """Contrastive NB quality filter (textquality.py:nb_quality_score,
+    the DCLM/fastText-filter shape): good model trains on doc_id % 5 ==
+    0, bad model on doc_id % 7 == 1, every doc scores mean token
+    log-odds. Same closed-form model + truncation contract as
+    lm_perplexity, so DuckDB re-derives both models exactly."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    good = docs.filter(F.col("doc_id") % 5 == 0)
+    bad = docs.filter(F.col("doc_id") % 7 == 1)
+    return TQ.nb_quality_score(docs, good, bad, vocab_size=300)
+
+
+SQL_NB_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id AS id, {_TOKS.format(x='text')} AS toks FROM documents),
+gt AS (SELECT unnest(toks) AS token FROM d WHERE id % 5 = 0),
+gm AS (SELECT token, count(*) AS g_cnt FROM gt GROUP BY token
+       ORDER BY g_cnt DESC, token LIMIT 300),
+bt AS (SELECT unnest(toks) AS token FROM d WHERE id % 7 = 1),
+bm AS (SELECT token, count(*) AS b_cnt FROM bt GROUP BY token
+       ORDER BY b_cnt DESC, token LIMIT 300),
+gs AS (SELECT sum(g_cnt)::DOUBLE AS g_total,
+              count(*)::DOUBLE AS g_vocab FROM gm),
+bs AS (SELECT sum(b_cnt)::DOUBLE AS b_total,
+              count(*)::DOUBLE AS b_vocab FROM bm),
+tok AS (SELECT id, unnest(toks) AS token FROM d),
+per AS (
+  SELECT t.id, count(*) AS n_tokens,
+         sum((log2(coalesce(g.g_cnt, 0)::DOUBLE + 1.0)
+              - log2(gs.g_total + gs.g_vocab + 1.0))
+             - (log2(coalesce(b.b_cnt, 0)::DOUBLE + 1.0)
+                - log2(bs.b_total + bs.b_vocab + 1.0))) AS ssum
+  FROM tok t
+  LEFT JOIN gm g ON g.token = t.token
+  LEFT JOIN bm b ON b.token = t.token
+  CROSS JOIN gs CROSS JOIN bs
+  GROUP BY t.id)
+SELECT d.id AS doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.ssum / p.n_tokens, 0.0), 4) AS log_odds,
+       round(coalesce(p.ssum / p.n_tokens, 0.0), 4) > 0.0 AS good
+FROM d LEFT JOIN per p ON p.id = d.id
+"""
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode normalization (functions/text.py:normalize_text): plant
     combining marks, zero-widths, controls, and exotic spaces into
@@ -1923,6 +1968,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "nb_quality": q_nb_quality,
     "normalize_text": q_normalize_text,
     "bm25": q_bm25,
     "pagerank": q_pagerank,
@@ -1979,6 +2025,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "nb_quality": SQL_NB_QUALITY,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "bm25": SQL_BM25,
     "pagerank": SQL_PAGERANK,

@@ -621,3 +621,49 @@ def test_normalize_text_unicode(spark):
     assert got[5] == "dropbadctl"
     assert got[6] == "plain ascii stays put"
     assert got[7] is None
+
+
+def test_nb_quality_matches_python_reference(spark):
+    """Contrastive NB log-odds vs a sequential model with the same
+    truncation and smoothing; good/bad refs overlap deliberately."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(24680)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(100)]
+    V = 8
+
+    def model(rows):
+        cnt = Counter(t for _, tx in rows for t in tx.split())
+        m = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+        return m, sum(m.values()), len(m)
+
+    gm, gt, gv = model([d for d in docs if d[0] % 3 == 0])
+    bm, bt, bv = model([d for d in docs if d[0] % 4 == 1])
+
+    def score(text):
+        toks = text.split()
+        if not toks:
+            return (0, 0.0, False)
+        s = sum((math.log2(gm.get(t, 0) + 1) - math.log2(gt + gv + 1))
+                - (math.log2(bm.get(t, 0) + 1) - math.log2(bt + bv + 1))
+                for t in toks)
+        x = round(s / len(toks), 4)
+        return (len(toks), x, x > 0.0)
+
+    sdocs = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in Q.nb_quality_score(
+        sdocs, sdocs.filter(F.col("doc_id") % 3 == 0),
+        sdocs.filter(F.col("doc_id") % 4 == 1),
+        vocab_size=V).collect()}
+    assert len(got) == 100
+    for i, tx in docs:
+        n, x, good = score(tx)
+        r = got[i]
+        assert r["n_tokens"] == n, (i, tx)
+        assert r["log_odds"] == pytest.approx(x, abs=1e-9), (i, tx)
+        assert bool(r["good"]) == good, (i, tx)
