@@ -260,3 +260,21 @@ def test_pagerank_iteration_partial_agg(spark):
         [(i % 7, (i * 3) % 9) for i in range(40)], ["src", "dst"])
     p = plan_of(pagerank(edges, iterations=1), "simple")
     assert "partial_sum" in p, p
+
+
+def test_lm_scorers_broadcast_models_partial_agg(spark, sf_dir):
+    """lm_crossentropy / nb_quality_score claim broadcast model joins
+    (never a shuffle of the exploded token stream against the model) and
+    partial aggregation before the per-doc exchange."""
+    from roddy_spark.operators import textquality as TQ
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    for df in (TQ.lm_crossentropy(docs, ref, vocab_size=50),
+               TQ.nb_quality_score(docs, ref,
+                                   docs.filter(F.col("doc_id") % 7 == 1),
+                                   vocab_size=50)):
+        p = plan_of(df, "simple")
+        assert "BroadcastHashJoin" in p, p
+        assert "SortMergeJoin" not in p, p
+        assert "partial_count" in p or "partial_sum" in p, p
