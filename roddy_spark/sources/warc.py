@@ -98,15 +98,22 @@ def build_warc(records: list[bytes], gzip_per_record: bool = False) -> bytes:
 # parser
 # ---------------------------------------------------------------------------
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream."""
+def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
+    """Decompress a (possibly multi-member) gzip stream. Returns the
+    bytes of every member that decoded plus an error message if a
+    member was corrupt/truncated — the good prefix still parses."""
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error as e:
+            return b"".join(out), f"gzip member decode failed: {e}"
+        if not d.eof:
+            return b"".join(out), "truncated gzip member"
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(out), None
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
@@ -114,9 +121,17 @@ def parse_warc(data: bytes) -> Iterator[dict]:
     warc_headers, http_status, content_type, payload, error}. Gzip input
     (single- or multi-member) is detected by magic. A malformed record
     yields a row with ``error`` set and parsing resynchronizes at the
-    next version line, so one corrupt record never loses the archive."""
+    next version line, so one corrupt record never loses the archive; a
+    corrupt gzip member yields the decodable prefix plus one error row."""
+    gzip_err = None
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data, gzip_err = _gunzip_members(data)
+    yield from _parse_plain(data)
+    if gzip_err is not None:
+        yield _err(len(data), gzip_err)
+
+
+def _parse_plain(data: bytes) -> Iterator[dict]:
     pos = 0
     n = len(data)
     while pos < n:

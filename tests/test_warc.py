@@ -109,3 +109,56 @@ def test_spark_read_warc(spark, tmp_path):
         b"<html>doc 1-2</html>"
     # record_no is per-file parse order
     assert {r["record_no"] for r in resp} == {1, 2, 3, 4}
+
+
+def test_parse_never_crashes_on_corruption():
+    """Property: arbitrary byte corruption of a valid archive never
+    raises — every outcome is parsed records and/or error rows."""
+    from hypothesis import given, settings, strategies as st
+
+    recs = [_resp(f"http://z.test/{i}", f"payload {i}".encode(), seq=i)
+            for i in range(3)]
+    base = W.build_warc(recs)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, len(base) - 1), st.binary(min_size=0,
+                                                    max_size=24))
+    def check(pos, junk):
+        data = base[:pos] + junk + base[pos + len(junk):]
+        out = list(W.parse_warc(data))
+        assert all(("error" in r) for r in out)
+        for r in out:
+            if r["error"] is None:
+                assert r["warc_type"] is not None
+
+    check()
+
+
+def test_parse_never_crashes_on_random_bytes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def check(data):
+        for r in W.parse_warc(data):
+            assert "error" in r
+
+    check()
+
+
+def test_corrupt_gzip_member_keeps_good_prefix():
+    recs = [_resp(f"http://gz.test/{i}", f"ok {i}".encode(), seq=i)
+            for i in range(3)]
+    data = W.build_warc(recs, gzip_per_record=True)
+    # chop the final member mid-way; also flip bytes inside it
+    cut = data[:len(data) - 9]
+    got = list(W.parse_warc(cut))
+    good = [r["url"] for r in got if r["error"] is None]
+    # every decodable record parses (cutting only the gzip trailer still
+    # yields all three) and the truncation is reported as an error row
+    assert good == [f"http://gz.test/{i}" for i in range(len(good))]
+    assert len(good) >= 2
+    assert got[-1]["error"] is not None
+    # pure garbage behind a gzip magic never raises either
+    got2 = list(W.parse_warc(b"\x1f\x8bgarbage here"))
+    assert got2 and got2[-1]["error"] is not None
