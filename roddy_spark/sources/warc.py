@@ -287,3 +287,58 @@ def read_warc(spark, path: str, types: tuple[str, ...] | None = None):
                 yield pd.DataFrame(rows, columns=cols)
 
     return bf.select("path", "content").mapInPandas(gen, WARC_READ_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records — the CommonCrawl .warc.wet shape)
+# ---------------------------------------------------------------------------
+
+def build_conversion_record(url: str, text: str, seq: int = 0,
+                            date: str = "2026-01-01T00:00:00Z") -> bytes:
+    """One WET ``conversion`` record: plain extracted text as block."""
+    return build_record("conversion", url, text.encode("utf-8"),
+                        date=date, seq=seq, content_type="text/plain")
+
+
+def write_wet(df, out_dir: str, url_col: str = "url",
+              text_col: str = "text") -> None:
+    """Write (url, text) rows as gzip WET archives, ONE FILE PER
+    PARTITION — the CommonCrawl layout, and the only write shape a
+    non-splittable format admits. Each executor streams its partition
+    through one file handle, one gzip member per record: constant
+    memory regardless of partition size. ``out_dir`` must be a
+    filesystem every executor mounts (local dir in local mode, shared
+    FS on a cluster)."""
+    import gzip as _gz
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        f = None
+        for i, row in enumerate(rows):
+            if f is None:
+                f = open(path, "wb")
+            rec = build_conversion_record(row[url_col],
+                                          row[text_col] or "", seq=i)
+            with _gz.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+        if f is not None:
+            f.close()
+
+    df.select(url_col, text_col).foreachPartition(_write)
+
+
+def read_wet(spark, path: str):
+    """DataFrame over WET archives: the ``conversion`` records, with the
+    payload decoded to a ``text`` column."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, types=("conversion",))
+    return recs.select(
+        "warc_file", "record_no", "url",
+        F.col("payload").cast("string").alias("text"), "error")

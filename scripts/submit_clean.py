@@ -50,6 +50,10 @@ def parse_args():
                         "HTML payload in body_html; implies --html-col "
                         "body_html unless one is given)")
     p.add_argument("--out", required=True, help="cleaned-corpus output dir")
+    p.add_argument("--wet-out", default=None,
+                   help="also write the cleaned corpus as gzip WET "
+                        "archives (one per partition; url column or "
+                        "urn:doc:<id>)")
     p.add_argument("--eval-set", default=None,
                    help="optional eval/benchmark parquet (text column); "
                         "docs sharing an n-gram with it are removed")
@@ -191,6 +195,15 @@ def main():
         obs, F.sum("_pii").alias("pii_redactions"),
         F.count(F.lit(1)).alias("kept"))
     scrubbed.drop("_pii").write.mode("overwrite").parquet(args.out)
+
+    if args.wet_out:
+        from roddy_spark.sources import warc as WA
+        cleaned = spark.read.parquet(args.out)
+        u = (F.col("url") if "url" in cleaned.columns
+             else F.concat(F.lit("urn:doc:"),
+                           F.col("doc_id").cast("string")))
+        WA.write_wet(cleaned.select(u.alias("url"), "text"),
+                     args.wet_out)
 
     got = obs.get
     n_kept = int(got["kept"] or 0)

@@ -162,3 +162,18 @@ def test_corrupt_gzip_member_keeps_good_prefix():
     # pure garbage behind a gzip magic never raises either
     got2 = list(W.parse_warc(b"\x1f\x8bgarbage here"))
     assert got2 and got2[-1]["error"] is not None
+
+
+def test_wet_round_trip(spark, tmp_path):
+    rows = [(f"http://wet.test/p{i}", f"extracted text {i} é✓")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["url", "text"]).repartition(4)
+    out = str(tmp_path / "wet")
+    W.write_wet(df, out)
+    import os
+    files = sorted(os.listdir(out))
+    assert 1 <= len(files) <= 4
+    assert all(f.endswith(".warc.wet.gz") for f in files)
+    back = W.read_wet(spark, out).collect()
+    assert len(back) == 40 and all(r["error"] is None for r in back)
+    assert {(r["url"], r["text"]) for r in back} == set(rows)
