@@ -392,3 +392,68 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 13,
             .alias("contaminated_docs"),
             F.count(F.lit(1)).alias("docs"))
     return out
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 50,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-span removal (the ExactSubstr semantics of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", bounded to ``k``-token spans): wherever the same ``k``-token
+    span occurs more than once in the corpus, its FIRST occurrence — by
+    (doc id, position) — keeps its tokens and every later occurrence has
+    the covered token range scrubbed. Token-stream semantics: the output
+    text is the surviving tokens joined by single spaces.
+
+    Returns (id_col, text, n_tokens, n_removed).
+
+    Scale shape: span keys are computed ROW-LOCALLY (one array transform
+    per doc — no per-span shuffle until the dedup itself); the
+    first-occurrence winner per span uses the same skew-proof
+    ``groupBy(span).agg(min_by, count)`` partial aggregation as
+    dedup_lines (a boilerplate span on 10^9 pages collapses map-side);
+    loser occurrences equi-join the duplicated-span set on the span key
+    (AQE skew-split applies) and reduce to one ``collect_list`` of start
+    positions per affected doc — bounded by doc length; the final scrub
+    is a row-local interval test. Spans are matched on the exact token
+    string (collision-free, like dedup_lines); production would hash the
+    key to shrink shuffle bytes at the cost of an oracle."""
+    toks = T.tokens(text_col)
+    base = (docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+            .withColumn("n", F.size("toks")))
+    # 1-based span start positions, row-local span strings
+    spans_arr = F.when(
+        F.col("n") >= k,
+        F.transform(F.sequence(F.lit(1), F.col("n") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i, k))
+                        .alias("span")))
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+    occ = (base.select("id", F.explode(spans_arr).alias("s"))
+           .select("id", F.col("s.pos").alias("pos"),
+                   F.col("s.span").alias("span")))
+    agg = (occ.groupBy("span")
+           .agg(F.count("*").alias("cnt"),
+                F.min_by(F.struct("id", "pos"),
+                         F.struct("id", "pos")).alias("w"))
+           .filter(F.col("cnt") > 1)
+           .select("span", F.col("w.id").alias("w_id"),
+                   F.col("w.pos").alias("w_pos")))
+    losers = (occ.join(agg, "span")
+              .filter((F.col("id") != F.col("w_id"))
+                      | (F.col("pos") != F.col("w_pos")))
+              .groupBy("id")
+              .agg(F.collect_list("pos").alias("starts")))
+    out = base.join(losers, "id", "left")
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i0: ~F.exists(
+            F.coalesce(F.col("starts"),
+                       F.array().cast("array<int>")),
+            lambda s: (s <= i0 + 1) & (i0 + 1 < s + k)))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias("text"),
+        F.col("n").cast("int").alias("n_tokens"),
+        (F.col("n") - F.size(kept)).cast("int").alias("n_removed"))

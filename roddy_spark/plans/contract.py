@@ -647,6 +647,62 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+_SPAN_K = 8
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-span removal (textdedup.py:remove_duplicate_spans
+    — the ExactSubstr semantics of Lee et al. 2022 bounded to k-token
+    spans, k=8 here so the corpus's exact-duplicate documents collide):
+    first occurrence by (doc_id, pos) keeps its tokens, later
+    occurrences have the covered ranges scrubbed. The DuckDB twin
+    replays the window/interval logic over the same token streams."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return TD.remove_duplicate_spans(docs, k=_SPAN_K)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id AS id, {_TOKS.format(x='text')} AS toks FROM documents),
+t2 AS (SELECT id, toks, CAST(len(toks) AS INT) AS n FROM t),
+occ AS (
+  SELECT id, u.s.pos AS pos, u.s.span AS span
+  FROM (SELECT id,
+          CASE WHEN n >= {_SPAN_K} THEN
+            list_transform(generate_series(1, n - {_SPAN_K} + 1),
+              i -> {{'pos': i,
+                     'span': array_to_string(toks[i:i+{_SPAN_K}-1], ' ')}})
+          ELSE CAST([] AS STRUCT(pos BIGINT, span VARCHAR)[]) END AS sl
+        FROM t2),
+       unnest(sl) AS u(s)),
+r AS (
+  SELECT id, pos, span,
+         count(*) OVER (PARTITION BY span) AS cnt,
+         row_number() OVER (PARTITION BY span ORDER BY id, pos) AS rn
+  FROM occ),
+losers AS (
+  SELECT id, list_sort(list(pos)) AS starts
+  FROM r WHERE cnt > 1 AND rn > 1 GROUP BY id),
+fin AS (
+  SELECT t2.id, t2.toks, t2.n,
+         coalesce(l.starts, CAST([] AS BIGINT[])) AS starts
+  FROM t2 LEFT JOIN losers l ON l.id = t2.id),
+scrub AS (
+  SELECT id, n,
+    list_filter(list_transform(generate_series(1, CAST(n AS BIGINT)),
+      ti -> CASE WHEN len(list_filter(starts,
+                    s -> s <= ti AND ti < s + {_SPAN_K})) = 0
+                 THEN toks[ti] END),
+      x -> x IS NOT NULL) AS kept
+  FROM fin)
+SELECT id AS doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text,
+       CAST(n AS INT) AS n_tokens,
+       CAST(n - len(kept) AS INT) AS n_removed
+FROM scrub
+"""
+
+
 def q_nb_quality(spark, sf_dir):
     """Contrastive NB quality filter (textquality.py:nb_quality_score,
     the DCLM/fastText-filter shape): good model trains on doc_id % 5 ==
@@ -1968,6 +2024,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "span_dedup": q_span_dedup,
     "nb_quality": q_nb_quality,
     "normalize_text": q_normalize_text,
     "bm25": q_bm25,
@@ -2025,6 +2082,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "span_dedup": SQL_SPAN_DEDUP,
     "nb_quality": SQL_NB_QUALITY,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "bm25": SQL_BM25,

@@ -667,3 +667,58 @@ def test_nb_quality_matches_python_reference(spark):
         assert r["n_tokens"] == n, (i, tx)
         assert r["log_odds"] == pytest.approx(x, abs=1e-9), (i, tx)
         assert bool(r["good"]) == good, (i, tx)
+
+
+def test_remove_duplicate_spans_handcrafted(spark):
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d z w"),   # interior copy of doc 1's span
+        (3, "a b c d"),           # wholly duplicated -> emptied
+        (4, "short text"),        # under k, untouched
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           D.remove_duplicate_spans(docs, k=4).collect()}
+    assert (got[1]["text"], got[1]["n_removed"]) == ("a b c d e f g h", 0)
+    assert (got[2]["text"], got[2]["n_removed"]) == ("x y z w", 4)
+    assert (got[3]["text"], got[3]["n_removed"]) == ("", 4)
+    assert (got[4]["text"], got[4]["n_removed"]) == ("short text", 0)
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Randomized small-vocab corpus vs a sequential reference that
+    replays first-occurrence span marking and interval scrubbing."""
+    import random
+
+    rng = random.Random(5318)
+    vocab = ["aa", "bb", "cc"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 14))))
+            for i in range(60)]
+    K = 4
+
+    first: dict[str, tuple[int, int]] = {}
+    spans = {}
+    for i, tx in docs:  # (doc, pos) order == iteration order
+        toks = tx.split()
+        spans[i] = []
+        for p in range(len(toks) - K + 1):
+            span = " ".join(toks[p:p + K])
+            if span not in first:
+                first[span] = (i, p)
+            spans[i].append((p, span))
+    expect = {}
+    for i, tx in docs:
+        toks = tx.split()
+        covered = set()
+        for p, span in spans[i]:
+            if first[span] != (i, p):
+                covered.update(range(p, p + K))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expect[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+
+    got = {r["doc_id"]: r for r in D.remove_duplicate_spans(
+        spark.createDataFrame(docs, ["doc_id", "text"]), k=K).collect()}
+    assert len(got) == 60
+    for i in expect:
+        r = got[i]
+        assert (r["text"], r["n_tokens"], r["n_removed"]) == expect[i], i
