@@ -77,7 +77,7 @@ QUERY_NAMES = [
     "dedup_clusters", "decontaminate", "repetition_stats",
     "lm_perplexity", "main_text", "line_dedup", "c4_filters",
     "warc_parse", "pagerank", "bm25", "normalize_text",
-    "nb_quality", "span_dedup",
+    "nb_quality", "span_dedup", "line_repetition",
 ]
 
 

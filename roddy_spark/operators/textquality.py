@@ -196,3 +196,39 @@ def nb_quality_score(docs: DataFrame, good_ref: DataFrame,
         F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
                 4).alias("log_odds"))
     return out.withColumn("good", F.col("log_odds") > threshold)
+
+
+def gopher_line_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      dup_count_threshold: float = 0.30,
+                      dup_char_threshold: float = 0.20) -> DataFrame:
+    """The Gopher/MassiveText duplicate-LINE rules (complementing the
+    n-gram rules of :func:`repetition_stats`): fraction of lines that
+    are repeats of an earlier line, and fraction of characters living in
+    such repeated lines; pages past either threshold are boilerplate
+    listings/chat logs and get flagged. ZERO shuffle — `array_distinct`
+    keeps first occurrences, so both fractions are row-local array
+    arithmetic; the fractions are exact integer divisions, so the DuckDB
+    twin (contract `line_repetition`) matches bitwise."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda l: F.trim(l)),
+        lambda l: l != "")
+    uniq = F.array_distinct(lines)
+    chars = F.aggregate(lines, F.lit(0),
+                        lambda acc, l: acc + F.length(l))
+    uchars = F.aggregate(uniq, F.lit(0),
+                         lambda acc, l: acc + F.length(l))
+    n, un = F.size(lines), F.size(uniq)
+    out = docs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_lines"),
+        ((n - un).cast("double")
+         / F.greatest(n, F.lit(1)).cast("double")).alias("dup_line_frac"),
+        ((chars - uchars).cast("double")
+         / F.greatest(chars, F.lit(1)).cast("double"))
+        .alias("dup_char_frac"))
+    return out.withColumn(
+        "line_repetitive",
+        (F.col("dup_line_frac") > dup_count_threshold)
+        | (F.col("dup_char_frac") > dup_char_threshold))

@@ -647,6 +647,58 @@ FROM p
 """.replace("@EMAIL@", T.PII_EMAIL).replace("@IP@", T.PII_IPV4)    .replace("@PHONE@", T.PII_PHONE)
 
 
+def q_line_repetition(spark, sf_dir):
+    """Gopher duplicate-LINE rules (textquality.py:gopher_line_stats)
+    over the same three-line construction as q_line_dedup — self-
+    partnered docs (doc_id < 50) repeat their own text line, so both
+    fractions take non-trivial values. Zero-shuffle row-local array
+    arithmetic; exact integer divisions, so the twin matches bitwise."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = (docs.filter(F.col("doc_id") < 50)
+               .select(F.col("doc_id").alias("pid"),
+                       F.col("text").alias("ptext")))
+    multi = (docs.join(F.broadcast(partner),
+                       docs.doc_id % 50 == partner.pid)
+             .select("doc_id",
+                     F.concat_ws("\n", F.col("text"),
+                                 F.lit("follow us on social media"),
+                                 F.col("ptext")).alias("text")))
+    return TQ.gopher_line_stats(multi)
+
+
+SQL_LINE_REPETITION = """
+WITH base AS (SELECT doc_id, text FROM documents),
+multi AS (
+  SELECT b.doc_id AS id,
+         b.text || chr(10) || 'follow us on social media' || chr(10)
+         || p.text AS text
+  FROM base b JOIN base p ON p.doc_id = b.doc_id % 50),
+l AS (
+  SELECT id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM multi),
+s AS (
+  SELECT id, ls, list_distinct(ls) AS uq,
+         coalesce(list_aggregate(
+           list_transform(ls, x -> len(x)), 'sum'), 0) AS chars,
+         coalesce(list_aggregate(
+           list_transform(list_distinct(ls), x -> len(x)), 'sum'), 0)
+           AS uchars
+  FROM l)
+SELECT id AS doc_id,
+       CAST(len(ls) AS INT) AS n_lines,
+       (len(ls) - len(uq))::DOUBLE
+         / greatest(len(ls), 1)::DOUBLE AS dup_line_frac,
+       (chars - uchars)::DOUBLE
+         / greatest(chars, 1)::DOUBLE AS dup_char_frac,
+       ((len(ls) - len(uq))::DOUBLE / greatest(len(ls), 1)::DOUBLE > 0.30
+        OR (chars - uchars)::DOUBLE / greatest(chars, 1)::DOUBLE > 0.20)
+         AS line_repetitive
+FROM s
+"""
+
+
 _SPAN_K = 8
 
 
@@ -2024,6 +2076,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "lm_perplexity": q_lm_perplexity,
+    "line_repetition": q_line_repetition,
     "span_dedup": q_span_dedup,
     "nb_quality": q_nb_quality,
     "normalize_text": q_normalize_text,
@@ -2082,6 +2135,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_scrub": SQL_PII_SCRUB,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "line_repetition": SQL_LINE_REPETITION,
     "span_dedup": SQL_SPAN_DEDUP,
     "nb_quality": SQL_NB_QUALITY,
     "normalize_text": SQL_NORMALIZE_TEXT,

@@ -722,3 +722,24 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
     for i in expect:
         r = got[i]
         assert (r["text"], r["n_tokens"], r["n_removed"]) == expect[i], i
+
+
+def test_gopher_line_stats(spark):
+    docs = spark.createDataFrame([
+        (1, "aaa\nbbb\naaa\nccc"),       # 1 dup line of 4; 3/12 chars
+        (2, "one\ntwo\nthree"),           # no dups
+        (3, "x\nx\nx\nx\nx\nyyyy"),       # heavy dup -> flagged
+        (4, "  pad  \n\npad\nzz"),        # trim + empty-drop, pad==pad
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in Q.gopher_line_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.25)
+    assert got[1]["dup_char_frac"] == pytest.approx(3 / 12)
+    # 0.25 duplicate-char fraction crosses the 0.20 Gopher char rule
+    assert got[1]["line_repetitive"]
+    assert got[2]["dup_line_frac"] == 0.0 and not got[2]["line_repetitive"]
+    assert got[3]["n_lines"] == 6
+    assert got[3]["dup_line_frac"] == pytest.approx(4 / 6)
+    assert got[3]["line_repetitive"]
+    assert got[4]["n_lines"] == 3
+    assert got[4]["dup_line_frac"] == pytest.approx(1 / 3)
