@@ -76,6 +76,11 @@ def parse_args():
                    help="keep only each line's first global occurrence "
                         "(C4/RefinedWeb exact line dedup); docs emptied "
                         "by it are dropped")
+    p.add_argument("--span-dedup", type=int, default=0, metavar="K",
+                   help="scrub every repeat of a K-token span, keeping "
+                        "its first (doc, position) occurrence (bounded "
+                        "ExactSubstr dedup); docs emptied by it are "
+                        "dropped")
     p.add_argument("--lm-threshold", type=float, default=10.0)
     p.add_argument("--lm-vocab", type=int, default=50000)
     p.add_argument("--minhash-threshold", type=float, default=0.7)
@@ -148,6 +153,15 @@ def main():
             n_after = docs.count()
             n_line_emptied, n_current = n_current - n_after, n_after
 
+    # 0b2. optional bounded exact-substring (span) dedup
+    n_span_emptied = 0
+    if args.span_dedup:
+        sd = (TD.remove_duplicate_spans(docs, k=args.span_dedup)
+              .filter(F.col("text") != "").select("doc_id", "text"))
+        docs = docs.drop("text").join(sd, "doc_id")
+        n_after = docs.count()
+        n_span_emptied, n_current = n_current - n_after, n_after
+
     # 0c. optional LM perplexity filter against a clean reference corpus
     n_lm = 0
     if args.lm_ref:
@@ -216,6 +230,7 @@ def main():
         "boilerplate_removed": n_boilerplate,
         "c4_removed": n_c4,
         "line_dedup_emptied": n_line_emptied,
+        "span_dedup_emptied": n_span_emptied,
         "lm_removed": n_lm,
         "near_dup_removed": n_current - n_stage1,
         "repetitive_removed": n_stage1 - n_stage2,
