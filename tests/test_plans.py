@@ -278,3 +278,23 @@ def test_lm_scorers_broadcast_models_partial_agg(spark, sf_dir):
         assert "BroadcastHashJoin" in p, p
         assert "SortMergeJoin" not in p, p
         assert "partial_count" in p or "partial_sum" in p, p
+
+
+def test_span_dedup_no_cartesian_partial_min_by(spark, sf_dir):
+    """remove_duplicate_spans: span keys computed row-local, winner via
+    partial-aggregated min_by, no cartesian anywhere."""
+    from roddy_spark.operators import textdedup as TD
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan_of(TD.remove_duplicate_spans(docs, k=8), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "partial_min_by" in p or "partial_minby" in p.lower(), p
+
+
+def test_gopher_line_stats_zero_exchange(spark, sf_dir):
+    from roddy_spark.operators import textquality as TQ
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan_of(TQ.gopher_line_stats(docs), "simple")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
