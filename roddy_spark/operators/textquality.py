@@ -22,10 +22,42 @@ nothing but the documents scan."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from roddy_spark.functions import text as T
+
+
+def _fold_udf(spark, table: dict[str, float], default: float):
+    """Vectorized scorer: per document, LEFT-TO-RIGHT fold of the
+    per-token contribution over the token array in document order.
+
+    The contribution values are PRECOMPUTED IN THE JVM (same log2
+    bits as the r6 expression shape); Python only adds IEEE doubles in
+    a fixed order — bit-identical to the same fold on any engine — and
+    the dict lookup is O(1) where a Spark ``element_at(map, k)`` is a
+    linear scan of the whole vocab per token (measured 1.4× slower at
+    sf0.1 and linearly worse with corpus size). The dict is a fixed-size
+    sparkContext broadcast (≤ 2·vocab_size entries — the vocab cap is
+    the scale contract), shipped once per executor."""
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf("double")
+    def _ssum(toks: pd.Series) -> pd.Series:
+        get = bc.value.get
+
+        def fold(ts):
+            if ts is None:
+                return 0.0
+            s = 0.0
+            for t in ts:
+                s = s + get(t, default)
+            return s
+
+        return toks.map(fold)
+
+    return _ssum
 
 
 def _run_length_stats(grams: Column) -> Column:
@@ -120,34 +152,45 @@ def lm_crossentropy(docs: DataFrame, ref: DataFrame,
     and V = vocab size of the retained model (the +1 mass covers OOV),
     rounded to 4 decimals; ``hi_perplexity`` = rounded value > threshold
     (computed from the ROUNDED value so both engines flag identically).
-    Zero-token docs score 0.0 / false.
+    Zero-token docs score 0.0 / false. One output row per input row.
 
-    Scale shape: the model build shuffles only the REFERENCE corpus
-    (tiny vs the 100 TB scoring corpus) and distributed-TakeOrdereds the
-    top-K; scoring is explode → broadcast hash join (model ≤ vocab_size
-    rows, broadcast explicitly) → one partial-aggregated groupBy on the
-    doc id — exploded token rows never leave their input partition, so
-    the only exchange carries ~one row per document. ``explode_outer``
-    keeps empty docs in-band: no second pass or join-back over the
-    corpus."""
-    model = unigram_lm(ref, text_col, vocab_size)
-    stats = model.agg(
-        F.sum("tok_count").cast("double").alias("lm_total"),
-        F.count("*").cast("double").alias("lm_vocab"))
-    tok = docs.select(
-        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("token"))
-    scored = (tok.join(F.broadcast(model), "token", "left")
-              .join(F.broadcast(stats)))
-    surprisal = (
-        F.log2(F.col("lm_total") + F.col("lm_vocab") + F.lit(1.0))
-        - F.log2(F.coalesce(F.col("tok_count"), F.lit(0)).cast("double")
-                 + F.lit(1.0)))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("token").cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("token").isNotNull(), surprisal)).alias("_s"))
-    out = per_doc.select(
-        F.col(id_col), F.col("n_tokens"),
-        F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
+    Scale shape + determinism contract (r7, ADVICE r6): the model build
+    shuffles only the REFERENCE corpus (tiny vs the 100 TB scoring
+    corpus) and distributed-TakeOrdereds the top-K; the retained model
+    collects to the driver as exact integer counts (bounded by the vocab
+    cap), the per-token surprisal table is computed ONCE with libm log2
+    (bitwise the oracle's log2 — the JVM's differs in the last ulp on
+    ~28% of integer inputs, the class of drift that flips a 4-decimal
+    rounding boundary), and scoring is ONE vectorized Arrow stage that
+    folds each doc's token array left-to-right in document order against
+    the broadcast dict. Zero explode, zero join, zero exchange of the
+    corpus; the per-doc FP sum is a fixed in-order fold — bit-identical
+    at any parallelism or partition count and the same accumulation
+    order as the DuckDB twin's per-group scan-order sum. The previous
+    explode → broadcast-join → groupBy(doc) shape left both the log2
+    bits and the signed-double reduction order to the engine
+    (CORRECTNESS_r06 ``nb_quality`` hash flake)."""
+    import math
+
+    # bounded driver collect (≤ vocab_size rows of exact INTEGER counts —
+    # fixed-size by the vocab-cap scale contract); the surprisal doubles
+    # are then computed with libm log2 (math.log2), the SAME libm the
+    # DuckDB oracle calls — the JVM's Log2 differs from libm in the last
+    # ulp on ~28% of integer inputs (measured), which is exactly the
+    # class of difference that flips a 4-decimal rounding boundary
+    # (the CORRECTNESS_r06 nb_quality hash flake)
+    model = {r["token"]: int(r["tok_count"])
+             for r in unigram_lm(ref, text_col, vocab_size).collect()}
+    norm = math.log2(sum(model.values()) + len(model) + 1.0)
+    table = {t: norm - math.log2(c + 1.0) for t, c in model.items()}
+    default = norm - math.log2(1.0)
+    ssum = _fold_udf(docs.sparkSession, table, default)
+
+    toks = T.tokens(text_col)
+    n_tok = F.size(toks)
+    out = docs.select(
+        F.col(id_col), n_tok.cast("long").alias("n_tokens"),
+        F.round(F.when(n_tok > 0, ssum(toks) / n_tok).otherwise(F.lit(0.0)),
                 4).alias("xent_bits"))
     return out.withColumn("hi_perplexity", F.col("xent_bits") > threshold)
 
@@ -164,36 +207,52 @@ def nb_quality_score(docs: DataFrame, good_ref: DataFrame,
     model explains the document better. ``good`` flags score > threshold
     (computed from the 4-decimal-rounded score so engines agree).
 
-    Scale shape: both models are fixed-size broadcasts (vocab cap =
-    the scale contract, as in lm_crossentropy); scoring is explode →
-    two broadcast joins → one partial-aggregated groupBy on the doc id,
-    so only ~one row per document crosses the exchange."""
-    gm = unigram_lm(good_ref, text_col, vocab_size) \
-        .withColumnRenamed("tok_count", "g_cnt")
-    bm = unigram_lm(bad_ref, text_col, vocab_size) \
-        .withColumnRenamed("tok_count", "b_cnt")
-    gs = gm.agg(F.sum("g_cnt").cast("double").alias("g_total"),
-                F.count("*").cast("double").alias("g_vocab"))
-    bs = bm.agg(F.sum("b_cnt").cast("double").alias("b_total"),
-                F.count("*").cast("double").alias("b_vocab"))
-    tok = docs.select(
-        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("token"))
-    scored = (tok.join(F.broadcast(gm), "token", "left")
-              .join(F.broadcast(bm), "token", "left")
-              .join(F.broadcast(gs)).join(F.broadcast(bs)))
-    odds = (
-        (F.log2(F.coalesce(F.col("g_cnt"), F.lit(0)).cast("double")
-                + F.lit(1.0))
-         - F.log2(F.col("g_total") + F.col("g_vocab") + F.lit(1.0)))
-        - (F.log2(F.coalesce(F.col("b_cnt"), F.lit(0)).cast("double")
-                  + F.lit(1.0))
-           - F.log2(F.col("b_total") + F.col("b_vocab") + F.lit(1.0))))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("token").cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("token").isNotNull(), odds)).alias("_s"))
-    out = per_doc.select(
-        F.col(id_col), F.col("n_tokens"),
-        F.round(F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)),
+    Scale shape + determinism contract (r7, ADVICE r6 HIGH): both
+    models collect to the driver as exact integer counts (bounded by
+    the vocab cap), the per-token log-odds table is computed ONCE with
+    libm log2 (bitwise the oracle's log2 — the JVM's drifts a last ulp
+    on ~28% of integer inputs), and every document scores in ONE
+    vectorized Arrow stage folding its token array left-to-right in
+    document order against the broadcast dict. Zero explode, zero
+    per-token join, zero exchange of the corpus. The per-doc sum of
+    SIGNED doubles (cancellation makes 4-decimal rounding boundaries
+    likelier here than in the all-positive lm_crossentropy sum) is a
+    fixed in-order fold — bit-identical at any parallelism or
+    shuffle-partition count and the same accumulation order as the
+    DuckDB twin's per-group scan-order sum — where the previous
+    explode → broadcast-join → groupBy(doc) shape left both the log2
+    bits and the reduction order to the engine (the CORRECTNESS_r06
+    ``nb_quality`` hash-mismatch). One output row per input row."""
+    import math
+
+    # ONE bounded driver collect (≤ 2·vocab_size rows of exact INTEGER
+    # counts); the log-odds doubles are computed with libm log2
+    # (math.log2) — bitwise the log2 the DuckDB oracle calls, where the
+    # JVM's Log2 drifts a last ulp on ~28% of integer inputs (the
+    # CORRECTNESS_r06 nb_quality hash flake; ADVICE r6 HIGH)
+    gm = unigram_lm(good_ref, text_col, vocab_size)
+    bm = unigram_lm(bad_ref, text_col, vocab_size)
+    rows = (gm.select(F.lit(0).alias("m"), "token", "tok_count")
+            .unionByName(bm.select(F.lit(1).alias("m"), "token",
+                                   "tok_count"))).collect()
+    g = {r["token"]: int(r["tok_count"]) for r in rows if r["m"] == 0}
+    b = {r["token"]: int(r["tok_count"]) for r in rows if r["m"] == 1}
+    g_norm = math.log2(sum(g.values()) + len(g) + 1.0)
+    b_norm = math.log2(sum(b.values()) + len(b) + 1.0)
+
+    def odds(t):
+        return ((math.log2(g.get(t, 0) + 1.0) - g_norm)
+                - (math.log2(b.get(t, 0) + 1.0) - b_norm))
+
+    table = {t: odds(t) for t in set(g) | set(b)}
+    default = odds(None)
+    ssum = _fold_udf(docs.sparkSession, table, default)
+
+    toks = T.tokens(text_col)
+    n_tok = F.size(toks)
+    out = docs.select(
+        F.col(id_col), n_tok.cast("long").alias("n_tokens"),
+        F.round(F.when(n_tok > 0, ssum(toks) / n_tok).otherwise(F.lit(0.0)),
                 4).alias("log_odds"))
     return out.withColumn("good", F.col("log_odds") > threshold)
 

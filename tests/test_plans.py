@@ -262,10 +262,13 @@ def test_pagerank_iteration_partial_agg(spark):
     assert "partial_sum" in p, p
 
 
-def test_lm_scorers_broadcast_models_partial_agg(spark, sf_dir):
-    """lm_crossentropy / nb_quality_score claim broadcast model joins
-    (never a shuffle of the exploded token stream against the model) and
-    partial aggregation before the per-doc exchange."""
+def test_lm_scorers_broadcast_map_row_local(spark, sf_dir):
+    """lm_crossentropy / nb_quality_score (r7 shape, ADVICE r6): the
+    model reduces to a fixed-size broadcast dict of JVM-precomputed
+    per-token contributions and scoring is ONE vectorized Arrow stage
+    folding each doc's token array in document order — the returned
+    plan has no join, no explode, and no Exchange at all (the corpus
+    never shuffles; the tiny model build runs eagerly at call time)."""
     from roddy_spark.operators import textquality as TQ
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
@@ -275,9 +278,36 @@ def test_lm_scorers_broadcast_models_partial_agg(spark, sf_dir):
                                    docs.filter(F.col("doc_id") % 7 == 1),
                                    vocab_size=50)):
         p = plan_of(df, "simple")
-        assert "BroadcastHashJoin" in p, p
-        assert "SortMergeJoin" not in p, p
-        assert "partial_count" in p or "partial_sum" in p, p
+        assert "ArrowEvalPython" in p, p
+        assert "Exchange" not in p, p
+        assert "Join" not in p, p
+        assert "Generate explode" not in p, p
+
+
+def test_lm_scorers_bit_identical_across_partitioning(spark, sf_dir):
+    """The ADVICE r6 determinism contract: the per-doc signed-double
+    log-odds fold must be BIT-identical across shuffle-partition counts
+    and input partitionings (the config sweep that would have caught the
+    CORRECTNESS_r06 nb_quality hash flake)."""
+    from roddy_spark.operators import textquality as TQ
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    good = docs.filter(F.col("doc_id") % 5 == 0)
+    bad = docs.filter(F.col("doc_id") % 7 == 1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts, repart in ((2, 1), (7, 3), (32, 16), (200, 5)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            d = docs.repartition(repart)
+            rows = sorted(
+                (r["doc_id"], r["n_tokens"], r["log_odds"], r["good"])
+                for r in TQ.nb_quality_score(
+                    d, good, bad, vocab_size=300).collect())
+            results.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert all(r == results[0] for r in results[1:])
 
 
 def test_span_dedup_no_cartesian_partial_min_by(spark, sf_dir):
