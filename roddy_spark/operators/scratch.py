@@ -15,6 +15,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def scratch_root(spark: SparkSession, prefix: str) -> str:
+    """Fresh scratch directory for an iterative fixpoint's round state.
+
+    Placement, in order: ``$RODDY_SCRATCH_DIR`` (a cluster deploy points
+    this at shared fast storage — HDFS/NFS/object store — since every
+    executor must read what any executor wrote); in LOCAL mode, tmpfs
+    (/dev/shm) when present — round-state frames are bounded by the live
+    state size and the sandbox's /tmp sits on a slow virtual disk whose
+    writeback stalls measured ±25% run-to-run (the same rationale as the
+    bench's spark.local.dir; a real cluster has NVMe per executor);
+    otherwise the system tempdir."""
+    import os
+    import tempfile
+
+    base = os.environ.get("RODDY_SCRATCH_DIR")
+    if not base and spark.sparkContext.master.startswith("local") \
+            and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/roddy_scratch"
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+class _LocalRoll:
+    """In-memory twin of :class:`_Scratch` for fixpoints whose round
+    state comfortably fits executor storage: ``roll`` = EAGER
+    ``localCheckpoint`` of the new version + immediate unpersist of the
+    superseded one (safe: the new version is fully materialized and
+    self-contained before the old blocks drop). Same contract as the
+    parquet scratch — plan truncated every round, storage flat at any
+    round count (the ADVICE r6 'unpersist the superseded ranks each
+    iteration' form) — without a parquet write/commit/read round-trip
+    per roll, which dominates fixpoint wall time at bench scale
+    (measured: ~0.3 s/roll). Choose :class:`_Scratch` when round state
+    may exceed executor storage or must survive executor loss."""
+
+    def __init__(self, spark: SparkSession | None = None, root: str = ""):
+        self.live: dict[str, DataFrame] = {}
+
+    @staticmethod
+    def _drop(df: DataFrame) -> None:
+        # Dataset.unpersist() only clears cacheManager entries, not a
+        # localCheckpoint's RDD blocks; reach the checkpointed RDD
+        # through the LogicalRDD node and unpersist it synchronously
+        # (verified against getRDDStorageInfo), falling back to the
+        # async ContextCleaner reap if the internal shape ever changes.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            df.unpersist()
+
+    def roll(self, df: DataFrame, name: str) -> DataFrame:
+        new = df.localCheckpoint(eager=True)
+        prev = self.live.get(name)
+        if prev is not None:
+            self._drop(prev)
+        self.live[name] = new
+        return new
+
+    def release(self) -> None:
+        """Drop every live frame's blocks (call AFTER detaching the
+        final result with its own checkpoint)."""
+        for df in self.live.values():
+            self._drop(df)
+        self.live.clear()
+
+
 class _Scratch:
     """One live parquet version per named frame; see module docstring."""
 

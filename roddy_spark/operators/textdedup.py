@@ -227,24 +227,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     fold map-side, and each improved node then chases one hop through its
     new label's own label (pointer jumping) so star-shaped clusters —
     the LSH-dedup common case — converge in O(log diameter) rounds, not
-    O(diameter). Round state rolls through an on-disk parquet scratch
-    (operators/scratch.py): bounded disk, flat executor storage, plan
-    truncated every round — the 100 TB shape. No collects; the only
-    driver-side signal is the per-round emptiness probe on the (shrinking)
-    delta frame.
+    O(diameter). Round state rolls through operators/scratch.py: by
+    default the in-memory roll (eager localCheckpoint, superseded version
+    unpersisted — flat storage, plan truncated every round, no parquet
+    commit latency per round); pass ``scratch_dir`` for the durable
+    on-disk parquet roll when the label frame may exceed executor
+    storage — the 100 TB shape. No collects; the only driver-side signal
+    is the per-round emptiness probe on the (shrinking) delta frame.
 
     ``nodes`` (optional, single-column) adds isolated docs — they come out
     as their own singleton cluster. ``stats`` receives
     {"rounds", "delta_rows"}.
     """
-    import shutil
-    import tempfile
-
-    from roddy_spark.operators.scratch import _Scratch
+    from roddy_spark.operators.scratch import _LocalRoll, _Scratch
 
     spark = pairs.sparkSession
-    root = scratch_dir or tempfile.mkdtemp(prefix="roddy_cc_")
-    sc = _Scratch(spark, root)
+    # round-state backend: default is the in-memory roll (eager
+    # localCheckpoint + unpersist of the superseded version — flat plan,
+    # flat storage, no parquet commit per round); pass scratch_dir for
+    # the durable on-disk parquet roll when round state may exceed
+    # executor storage (the caller owns that directory's lifecycle)
+    sc = _Scratch(spark, scratch_dir) if scratch_dir else _LocalRoll()
     try:
         half = pairs.select(F.col(id_a).alias("src"),
                             F.col(id_b).alias("dst"))
@@ -290,8 +293,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         return (labels.select("id", F.col("label").alias("cluster_id"))
                 .localCheckpoint(eager=True))
     finally:
-        if scratch_dir is None:
-            shutil.rmtree(root, ignore_errors=True)
+        if isinstance(sc, _LocalRoll):
+            sc.release()
 
 
 def canonical_docs(df: DataFrame, pairs: DataFrame,

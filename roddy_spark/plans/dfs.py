@@ -37,7 +37,7 @@ from roddy_spark.functions import urls as U
 # rolling on-disk round state, shared with the other fixpoints
 # (operators/scratch.py) — the plan-truncation device the BFS loop gets
 # from its SnapshotStore, applied to iterative self-joins
-from roddy_spark.operators.scratch import _Scratch
+from roddy_spark.operators.scratch import _Scratch, scratch_root
 
 _PENDING_SCHEMA = StructType([
     StructField("url_norm", StringType()),
@@ -159,9 +159,8 @@ def dfs_preorder(spark: SparkSession, pages: DataFrame, seeds: list[str],
     on-disk parquet scratch, one live version per frame (``_Scratch``) —
     bounded disk, flat executor storage memory at any round count."""
     import shutil
-    import tempfile
 
-    root = scratch_dir or tempfile.mkdtemp(prefix="roddy_dfs_")
+    root = scratch_dir or scratch_root(spark, "roddy_dfs_")
     sc = _Scratch(spark, root)
     try:
         seed_rows = [(u, [i]) for i, u in enumerate(seeds)]

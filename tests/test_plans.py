@@ -254,12 +254,38 @@ def test_bm25_no_explode_one_stats_exchange(spark, sf_dir):
 
 def test_pagerank_iteration_partial_agg(spark):
     """Each PageRank iteration partial-aggregates contributions before
-    the dst exchange (hub skew collapses map-side)."""
-    from roddy_spark.operators.linkgraph import pagerank
+    the dst exchange (hub skew collapses map-side); the dangling mass
+    comes from the has_out flag — no per-iteration anti-join."""
+    from pyspark.sql import functions as F
+    from roddy_spark.operators.linkgraph import Q, _pr_step
     edges = spark.createDataFrame(
         [(i % 7, (i * 3) % 9) for i in range(40)], ["src", "dst"])
-    p = plan_of(pagerank(edges, iterations=1), "simple")
+    e = edges.distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(deg, "src")
+    nodes = (e.select(F.col("src").alias("node")).distinct()
+             .withColumn("has_out", F.lit(True)))
+    ranks = nodes.withColumn("rank_q", F.lit(Q // 9).cast("long"))
+    p = plan_of(_pr_step(ed, nodes, ranks, 9, 1, 85), "simple")
     assert "partial_sum" in p, p
+    assert "left_anti" not in p.lower(), p
+
+
+def test_pagerank_round_state_flat(spark):
+    """PageRank round state rolls through the on-disk scratch (VERDICT
+    r6 item 4): the returned plan is the same size at any iteration
+    count (no lineage growth) and executor storage holds at most the
+    single final-output checkpoint — never one pinned set per
+    iteration."""
+    from roddy_spark.operators.linkgraph import pagerank
+    edges = spark.createDataFrame(
+        [(i % 11, (i * 5) % 13) for i in range(60)], ["src", "dst"])
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    p2 = plan_of(pagerank(edges, iterations=2), "simple")
+    p8 = plan_of(pagerank(edges, iterations=8), "simple")
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert len(p8) <= len(p2) + 64, (len(p2), len(p8))
+    assert after - before <= 2, (before, after)
 
 
 def test_lm_scorers_broadcast_map_row_local(spark, sf_dir):
