@@ -55,7 +55,14 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
         base = base.withColumn(
             f"tf_{i}", F.size(F.filter("toks", _eq(term))))
         tf_cols.append(f"tf_{i}")
-    base = base.drop("toks")
+    # materialize the NARROW per-doc stats once (id, dl, one int per
+    # term): the global-stats aggregate and the scoring pass both need
+    # them, and without this checkpoint each is a separate full scan
+    # that re-tokenizes the corpus — tokenization is ~all of the
+    # per-row cost (guide §2.3: don't compute things twice to avoid
+    # storing a few bytes). Eager localCheckpoint also truncates the
+    # plan so the TakeOrdered runs over the materialized rows.
+    base = base.drop("toks").localCheckpoint(eager=True)
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

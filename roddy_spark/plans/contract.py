@@ -1365,22 +1365,25 @@ FROM events GROUP BY 1, 2
 
 def q_frontier_admission(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
-    url = F.concat(F.lit("http://shop"),
-                   (F.col("l_orderkey") % 7).cast("string"),
-                   F.lit(".test/order/"), F.col("l_orderkey").cast("string"))
-    cand = li.select(F.col("l_orderkey").alias("key"),
-                     url.alias("url_norm"),
-                     F.concat(F.lit("shop"),
-                              (F.col("l_orderkey") % 7).cast("string"),
-                              F.lit(".test")).alias("host"),
-                     F.col("l_linenumber").alias("pos"))
-    # first-occurrence-wins within the batch (F8)
-    first = (cand.groupBy("key", "url_norm", "host")
-             .agg(F.min("pos").alias("pos")))
+    # r7: url_norm and host are INJECTIVE functions of the order key, so
+    # the first-occurrence groupBy keys on the bare key and the dedup
+    # shuffle carries (key:long, pos:int) instead of two built strings
+    # per row (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"); the key-only visited filter is pushed below the
+    # aggregation (it drops whole groups, so min(pos) is unchanged), and
+    # the strings are built once per surviving GROUP for the deny regex.
+    cand = (li.select(F.col("l_orderkey").alias("key"),
+                      F.col("l_linenumber").alias("pos"))
+            .filter(F.col("key") % 5 != 0))  # visited anti (F8)
+    first = cand.groupBy("key").agg(F.min("pos").alias("pos"))
+    url = F.concat(F.lit("http://shop"), (F.col("key") % 7).cast("string"),
+                   F.lit(".test/order/"), F.col("key").cast("string"))
+    host = F.concat(F.lit("shop"), (F.col("key") % 7).cast("string"),
+                    F.lit(".test"))
+    built = first.select("key", url.alias("url_norm"), host.alias("host"),
+                         "pos")
     # deny regex (F4): reject order keys ending in 00
-    filtered = first.filter(~F.col("url_norm").rlike("/order/.*00$"))
-    # visited anti-join (F8): every 5th key already seen
-    admitted = filtered.filter(F.col("key") % 5 != 0)
+    admitted = built.filter(~F.col("url_norm").rlike("/order/.*00$"))
     # per-host politeness rank (D5/D6): budget 10 per host
     w = Window.partitionBy("host").orderBy("pos", "key")
     return (admitted.withColumn("rn", F.row_number().over(w))

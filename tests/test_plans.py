@@ -250,6 +250,9 @@ def test_bm25_no_explode_one_stats_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert ("BroadcastExchange" in p
             or "BroadcastNestedLoopJoin" in p), p
+    # the corpus is tokenized ONCE into a checkpointed narrow frame —
+    # neither the stats aggregate nor the scoring pass rescans parquet
+    assert "Scan parquet" not in p, p
 
 
 def test_pagerank_iteration_partial_agg(spark):
