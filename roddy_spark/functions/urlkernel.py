@@ -358,19 +358,124 @@ _FAST_ROOTREL_RE = _re.compile(
 _ORIGIN_RE = _re.compile(r"^(https?://[^/?#]+)")
 _BASEDIR_RE = _re.compile(r"^(https?://[^?#]*/)")
 
+# SEMI-fast form (r7): URLs that are canonical except for the three
+# normalizations a de-canonicalized-but-clean URL needs — scheme/host case
+# folding, default-port drop, empty-path → "/". The grammar admits only
+# inputs where every OTHER kernel step provably no-ops (ASCII host chars,
+# no userinfo/IPv6/percent/whitespace, no dot segments — same lookahead as
+# the fast form; digit-only port), the three fixes are applied with
+# vectorized string ops, and the CANDIDATE is accepted only if it
+# re-matches _FAST_CANON_RE — so a composition this grammar got wrong
+# (trailing host dot, 5-digit or zero-padded port, empty query, http:443)
+# falls back to the scalar kernel instead of producing a wrong answer.
+# This is the hot frontier shape: candidate URLs arrive with shouty
+# schemes/hosts but clean paths, and the scalar kernel at ~20 µs/URL was
+# the single largest CPU line of the level bench.
+# two groups only (pandas str.extract cost scales with group count —
+# measured 1.1 s vs 0.6 s per 500k at 4 vs 2 groups): the whole authority
+# prefix (scheme://host[:port] — lowercasing it is exactly scheme+host
+# folding, digits unaffected), and the rest. NO dot-segment lookahead
+# here or in the vectorized matchers below: a plain substring scan for
+# "/." (C-speed, broader than the lookahead — any row containing it
+# takes the scalar path) replaces the backtracking assertion, which was
+# the single costliest part of the regex work.
+_SEMI_CANON_RE = _re.compile(
+    r"^([Hh][Tt][Tt][Pp][Ss]?://"                     # scheme, any case
+    r"[A-Za-z0-9.-]+"                                 # host chars only
+    r"(?::[0-9]{1,5})?)"                              # digit-only port
+    rf"([/?#][{_SEG}/?#]*)?\Z")                       # path/query/fragment
+
+# _FAST_CANON_RE minus its dot-segment lookahead, for vectorized use
+# behind the shared contains("/.") guard
+_FAST_NOLOOK_RE = _re.compile(_FAST_CANON_RE.pattern.replace(
+    r"^(?!.*/\.\.?(?:[/?#]|\Z))", "^", 1))
+
+# RE2 twins for pyarrow.compute (r7): RE2 has no lookaheads — the "/."
+# substring guard replaces the dot-segment assertion, and the
+# not-80/not-443 port rule is enumerated as alternatives — and no \Z
+# ($ in RE2 is end-of-text, exactly Python's \Z). Arrow's RE2 kernels
+# measured ~20x faster than pandas' per-row sre on frontier URL shapes.
+_PORT_RE2 = (r"(?::(?:[1-9]|8[1-9]|[1-79][0-9]"            # 1-2 digits ≠ 80
+             r"|4(?:4[0-24-9]|[0-35-9][0-9])|[1-35-9][0-9]{2}"  # 3 ≠ 443
+             r"|[1-9][0-9]{3}))?")                         # 4 digits
+_FAST_RE2 = (r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+             + _PORT_RE2
+             + rf"/[{_SEG}/]*(?:\?[{_SEG}/?]+)?(?:#[{_SEG}/?]+)?$")
+_SEMI_RE2 = (r"^(?P<pre>[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+"
+             r"(?::[0-9]{1,5})?)"
+             rf"(?P<rest>[/?#][{_SEG}/?#]*)?$")
+# RE2 forms of the href fast-path grammars: the (?!/) of the
+# root-relative form becomes "either nothing or a non-slash segment
+# char follows the leading /"
+_ROOTREL_RE2 = (rf"^/(?:[{_SEG}][{_SEG}/]*)?"
+                rf"(?:\?[{_SEG}/?]+)?(?:#[{_SEG}/?]+)?$")
+_REL_RE2 = (r"^[A-Za-z0-9\-._~!$&'()*+,;=@]+"
+            r"(?:/[A-Za-z0-9\-._~!$&'()*+,;=@]*)*$")
+_ORIGIN_RE2 = r"^(?P<o>https?://[^/?#]+)"
+_BASEDIR_RE2 = r"^(?P<d>https?://[^?#]*/)"
+
 
 def canonicalize_series(urls):
     """Vectorized ``canonicalize_url`` over a pandas Series (elementwise
-    identical to the scalar kernel; fast path = identity on already-canonical
-    URLs, slow path = the scalar kernel)."""
+    identical to the scalar kernel): fast path = identity on
+    already-canonical URLs; semi-fast path = vectorized case-fold /
+    default-port / root-path fix, verified against the canonical regex;
+    slow path = the scalar kernel."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     s = urls.astype("object")
-    fast = s.str.match(_FAST_CANON_RE, na=False)
-    out = s.where(fast, None)
-    slow = ~fast & s.notna()
-    if slow.any():
-        out[slow] = [canonicalize_url(v) for v in s[slow]]
-    return pd.Series(out, index=urls.index, dtype="object")
+    arr = pa.array(s, type=pa.string(), from_pandas=True)
+    # rows containing "/." anywhere (dot segments and their lookalikes)
+    # always take the scalar kernel; everything vectorized below assumes
+    # and requires this guard
+    nodot = pc.invert(pc.fill_null(pc.match_substring(arr, "/."), True))
+    fast = pc.and_(nodot,
+                   pc.fill_null(pc.match_substring_regex(arr, _FAST_RE2),
+                                False))
+    out = s.copy()  # deep by default — the mask below must not touch s
+    fast_np = fast.to_numpy(zero_copy_only=False).astype(bool)
+    out[~fast_np] = None
+    rem = ~fast_np & s.notna().values
+    idx = np.flatnonzero(rem & nodot.to_numpy(zero_copy_only=False)
+                         .astype(bool))
+    if len(idx):
+        # semi-fast rewrite on the residue only: lowercase the authority
+        # (digits unaffected), drop the scheme's default port (anchored
+        # whole-string rewrites — a zero-padded ':080' or a host merely
+        # ending in '80' can't match), root an empty path, then accept
+        # ONLY candidates that re-match the canonical grammar
+        sub = arr.take(pa.array(idx))
+        ext = pc.extract_regex(sub, _SEMI_RE2)
+        pre = pc.ascii_lower(pc.struct_field(ext, "pre"))
+        pre = pc.replace_substring_regex(
+            pre, r"^(http://[a-z0-9.-]+):80$", r"\1")
+        pre = pc.replace_substring_regex(
+            pre, r"^(https://[a-z0-9.-]+):443$", r"\1")
+        rest = pc.fill_null(pc.struct_field(ext, "rest"), "")
+        needslash = pc.or_(pc.equal(rest, ""),
+                           pc.or_(pc.starts_with(rest, "?"),
+                                  pc.starts_with(rest, "#")))
+        slash = pc.if_else(needslash, pa.scalar("/"), pa.scalar(""))
+        # the prefix rewrite cannot create or remove a "/." (the
+        # authority has no '/' past "://" and the inserted "/" only
+        # ever precedes '?' or '#'), so the nodot guard still holds
+        cand = pc.binary_join_element_wise(
+            pc.fill_null(pre, ""), slash, rest, "")
+        ok = pc.fill_null(pc.match_substring_regex(cand, _FAST_RE2), False)
+        ok_np = ok.to_numpy(zero_copy_only=False).astype(bool)
+        hit_idx = idx[ok_np]
+        if len(hit_idx):
+            out.iloc[hit_idx] = cand.take(
+                pa.array(np.flatnonzero(ok_np))).to_pylist()
+            rem[hit_idx] = False
+    if rem.any():
+        sidx = np.flatnonzero(rem)
+        vals = s.values
+        out.iloc[sidx] = [canonicalize_url(vals[i]) for i in sidx]
+    return out
 
 
 def resolve_series(base, href):
@@ -383,41 +488,69 @@ def resolve_series(base, href):
       * fast-canonical base + root-relative href → origin(base) + href;
       * fast-canonical base + plain relative href → basedir(base) + href.
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     h = href.astype("object")
     b = base.astype("object")
+    ha = pa.array(h, type=pa.string(), from_pandas=True)
+    ba = pa.array(b, type=pa.string(), from_pandas=True)
     out = pd.Series([None] * len(h), index=h.index, dtype="object")
-    done = pd.Series(False, index=h.index)
+
+    def _np(mask):
+        return pc.fill_null(mask, False).to_numpy(
+            zero_copy_only=False).astype(bool)
+
+    # same guard scheme as canonicalize_series: a C-speed substring scan
+    # for "/." replaces the backtracking dot-segment lookahead; any row
+    # whose JOINED string contains it falls to the scalar kernel
+    nodot_h = pc.invert(pc.fill_null(pc.match_substring(ha, "/."), True))
 
     # absolute & already canonical → identity (base irrelevant)
-    m_abs = h.str.match(_FAST_CANON_RE, na=False)
+    m_abs = _np(pc.and_(nodot_h, pc.match_substring_regex(ha, _FAST_RE2)))
     out[m_abs] = h[m_abs]
-    done |= m_abs
+    done = m_abs.copy()
 
-    base_fast = b.str.match(_FAST_CANON_RE, na=False)
+    base_fast = _np(pc.and_(
+        pc.invert(pc.fill_null(pc.match_substring(ba, "/."), True)),
+        pc.match_substring_regex(ba, _FAST_RE2)))
 
-    # root-relative against a canonical base
-    m_root = ~done & base_fast & h.str.match(_FAST_ROOTREL_RE, na=False)
-    if m_root.any():
-        joined = b[m_root].str.extract(_ORIGIN_RE, expand=False) + h[m_root]
-        ok = joined.str.match(_FAST_CANON_RE, na=False)
-        idx = joined.index[ok]
-        out[idx] = joined[ok]
-        done[idx] = True
+    def _join_fast(mask, extract_re, field):
+        """origin/basedir(base) + href for the masked rows; accept only
+        joins that re-match the canonical grammar (and carry no '/.')."""
+        idx = np.flatnonzero(mask)
+        if not len(idx):
+            return
+        take = pa.array(idx)
+        prefix = pc.struct_field(
+            pc.extract_regex(ba.take(take), extract_re), field)
+        joined = pc.binary_join_element_wise(
+            pc.fill_null(prefix, ""), ha.take(take), "")
+        ok = _np(pc.and_(
+            pc.match_substring_regex(joined, _FAST_RE2),
+            pc.invert(pc.fill_null(pc.match_substring(joined, "/."),
+                                   True))))
+        hit = idx[ok]
+        if len(hit):
+            out.iloc[hit] = joined.take(
+                pa.array(np.flatnonzero(ok))).to_pylist()
+            done[hit] = True
 
-    # plain relative against a canonical base
-    m_rel = ~done & base_fast & h.str.match(_FAST_REL_RE, na=False)
-    if m_rel.any():
-        joined = b[m_rel].str.extract(_BASEDIR_RE, expand=False) + h[m_rel]
-        ok = joined.str.match(_FAST_CANON_RE, na=False)
-        idx = joined.index[ok]
-        out[idx] = joined[ok]
-        done[idx] = True
+    # root-relative, then plain relative, against a canonical base
+    _join_fast(~done & base_fast
+               & _np(pc.match_substring_regex(ha, _ROOTREL_RE2)),
+               _ORIGIN_RE2, "o")
+    _join_fast(~done & base_fast
+               & _np(pc.match_substring_regex(ha, _REL_RE2)),
+               _BASEDIR_RE2, "d")
 
-    slow = ~done & h.notna()
+    slow = ~done & h.notna().values
     if slow.any():
-        out[slow] = [resolve_url(bb, hh)
-                     for bb, hh in zip(b[slow], h[slow])]
+        bv, hv = b.values, h.values
+        sidx = np.flatnonzero(slow)
+        out.iloc[sidx] = [resolve_url(bv[i], hv[i]) for i in sidx]
     return out
 
 

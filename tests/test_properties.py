@@ -82,7 +82,17 @@ _edgey = st.one_of(
         "http://a.test/a/../b", "http://a.test/a/./b", "http://a.test/..",
         "http://a.test/%7Euser", "http://a.test/a%2fb", "http://a.test/a%b",
         "http://user@a.test/", "http://a.test:99999/", "http://a..test/x",
-    ]))
+        # the r7 semi-fast layer's boundaries: case folding, default and
+        # zero-padded ports, cross-scheme defaults, empty path, '.' host
+        "HTTP://UPPER.TEST:80/Part/9", "HTTPS://X.TEST:443", "Http://A.b/",
+        "HTTP://H0.TEST", "http://H.TEST:080/", "HTTP://H.TEST:443/x",
+        "https://H.TEST:80/x", "HTTP://h.test?q=1", "HTTP://h.test#f",
+        "HTTP://h.test.:8080/p", "HTTP://H.TEST/a?b?c#d#e",
+    ]),
+    st.from_regex(
+        r"(HTTP|http|Http|HTTPS|https)://[A-Za-z0-9.\-]{1,12}"
+        r"(:[0-9]{1,5})?(/[A-Za-z0-9./?#=&_~-]{0,24})?",
+        fullmatch=True))
 
 
 @given(st.lists(st.one_of(_urls, _garbage, _edgey, st.none()), max_size=12))
