@@ -399,7 +399,8 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 13,
 
 def remove_duplicate_spans(docs: DataFrame, k: int = 50,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           hash_spans: bool = False) -> DataFrame:
     """Exact duplicated-span removal (the ExactSubstr semantics of Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
     Better", bounded to ``k``-token spans): wherever the same ``k``-token
@@ -418,21 +419,35 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 50,
     loser occurrences equi-join the duplicated-span set on the span key
     (AQE skew-split applies) and reduce to one ``collect_list`` of start
     positions per affected doc — bounded by doc length; the final scrub
-    is a row-local interval test. Spans are matched on the exact token
-    string (collision-free, like dedup_lines); production would hash the
-    key to shrink shuffle bytes at the cost of an oracle."""
+    is a row-local interval test.
+
+    Span-key representation (r7, VERDICT r6 item 3): the default exact
+    path matches on the full k-token STRING (collision-free — this is
+    the DuckDB-oracled contract form), which ships ~k× the corpus bytes
+    through the groupBy and join shuffles. ``hash_spans=True`` is the
+    production path: the key a span shuffles and joins on is its
+    ``xxhash64`` (8 bytes — a ~50× byte cut at the default k=50),
+    computed row-local from the same string. A 64-bit collision would
+    merge two distinct spans (probability ~n²/2⁶⁵; at 10¹² spans ≈
+    3%/corpus for ONE span pair — each costing at most one scrubbed
+    span occurrence, never lost documents); the string path remains the
+    verification oracle, equality of the two pinned in tests."""
     toks = T.tokens(text_col)
     base = (docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
             .withColumn("n", F.size("toks")))
-    # 1-based span start positions, row-local span strings
+
+    def span_key(i):
+        s = F.concat_ws(" ", F.slice("toks", i, k))
+        return F.xxhash64(s) if hash_spans else s
+
+    key_t = "bigint" if hash_spans else "string"
+    # 1-based span start positions, row-local span keys
     spans_arr = F.when(
         F.col("n") >= k,
         F.transform(F.sequence(F.lit(1), F.col("n") - k + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i, k))
-                        .alias("span")))
-    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+                    lambda i: F.struct(i.alias("pos"),
+                                       span_key(i).alias("span")))
+    ).otherwise(F.array().cast(f"array<struct<pos:int,span:{key_t}>>"))
     occ = (base.select("id", F.explode(spans_arr).alias("s"))
            .select("id", F.col("s.pos").alias("pos"),
                    F.col("s.span").alias("span")))
