@@ -54,11 +54,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                         telemetry: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
-    Exact path (default): shingle-explode → (drop shingles shared by >
+    Exact path (default): shingle-explode → ONE aggregation to a sorted
+    doc-id list per shingle (dropping shingles shared by >
     max_shingle_freq docs — they only create candidate-pair noise and
-    quadratic bucket blowup) → self-equi-join on shingle → per-pair
-    intersection count → Jaccard from |A|, |B|, |A∩B|. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    quadratic blowup) → row-local i<j pair explosion per group →
+    per-pair intersection count → Jaccard from |A|, |B|, |A∩B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     CONTRACT (VERDICT r5 item 5): the exact path is the VERIFICATION
     ORACLE — every co-shingled pair pays a shuffle row per shared shingle,
@@ -72,6 +73,43 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     banding probability instead of 1."""
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(T.word_shingles(text_col, n)).alias("shingle")))
+    if not prefilter_minhash:
+        # exact path, r7 shape: ONE aggregation per shingle replaces the
+        # old frequency-count + join-back + self-equi-join chain (3
+        # exchanges fewer). Each retained shingle group carries its
+        # sorted doc-id list; candidate pairs explode row-locally from
+        # the i<j combinations — identical pairs and intersection counts
+        # to the self-join on (shingle, a.id < b.id), since shingles are
+        # distinct per doc. The frequency cap bounds a hot shingle's
+        # group to cap ids (≤ cap² pairs in one task — the same quadratic
+        # the join bucket paid, without the bucket shuffle).
+        groups = (sh.groupBy("shingle")
+                  .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+                  .filter(F.size("ids") <= max_shingle_freq))
+        sizes = (groups.select(F.explode("ids").alias("id"))
+                 .groupBy("id").agg(F.count("*").alias("n_sh")))
+        m = F.size("ids")
+        combos = F.flatten(F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, m - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+        inter = (groups.select(F.explode(combos).alias("p"))
+                 .groupBy(F.col("p.id_a").alias("id_a"),
+                          F.col("p.id_b").alias("id_b"))
+                 .agg(F.count("*").alias("n_inter")))
+        inter = _observe_candidates(inter, telemetry)
+        sa = sizes.select(F.col("id").alias("id_a"),
+                          F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("id").alias("id_b"),
+                          F.col("n_sh").alias("n_b"))
+        return (inter.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard",
+                            F.round(F.col("n_inter")
+                                    / (F.col("n_a") + F.col("n_b")
+                                       - F.col("n_inter")), 3))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sh = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
           .filter(F.col("df_freq") <= max_shingle_freq)
@@ -94,23 +132,6 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                     / F.size(F.array_union("sh_a", "sh_b")), 3))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("n_inter")))
-    inter = _observe_candidates(inter, telemetry)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_inter")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("n_inter")), 3))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 8, n: int = 3,

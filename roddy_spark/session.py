@@ -27,6 +27,14 @@ def build_session(app_name: str = "roddy-spark", cores: int | None = None,
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # floor scan parallelism at 2 waves per core (scale-adaptive: the
+        # knob tracks cluster width, it is not a size constant) — the
+        # 128 MiB default split packs a bench-scale table into a handful
+        # of tasks and leaves most cores idle through every scan stage;
+        # tiny inputs are unaffected (openCostInBytes still bounds
+        # over-splitting of small files)
+        .config("spark.sql.files.minPartitionNum",
+                str(2 * (cores or (os.cpu_count() or 8))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
