@@ -935,8 +935,12 @@ def q_warc_parse(spark, sf_dir):
 
     import pandas as pd
 
+    # 64 archives (r7; was 16): the output rows are a pure per-document
+    # function — archive membership only sets framing/gzip grouping, and
+    # even/odd gzip coverage is unchanged — while 16 groups left half of
+    # a 32-core stage idle through the build+parse pass
     docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
-            .withColumn("arch", (F.col("doc_id") % 16).cast("int")))
+            .withColumn("arch", (F.col("doc_id") % 64).cast("int")))
 
     def build_and_parse(pdf: pd.DataFrame) -> pd.DataFrame:
         from roddy_spark.sources import warc as W
