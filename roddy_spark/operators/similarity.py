@@ -65,13 +65,26 @@ def _plane_coef(p: int, d: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
+def _lit_doubles(vals) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression instead
+    of per-element ``F.lit`` calls (r7): constructing a 64-coefficient
+    array column costs one py4j round-trip instead of ~130, which was
+    the dominant cost of BUILDING the LSH/IVF query plans (~1 s of
+    driver-side py4j before any job ran). ``repr`` round-trips IEEE
+    doubles exactly through the SQL parser, so the literal values — and
+    therefore every projection, bucket, and candidate — are
+    bit-identical to the per-element form."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D"
+                                      for v in vals) + ")")
+
+
 def _lsh_bits(vec: Column, dim: int, n_planes: int) -> Column:
     """Random-hyperplane signature: bit p = sign of <vec, plane_p>. The
     projection is a single zip_with/aggregate against a literal coefficient
     array per plane (JVM-side, no Python at execution time)."""
     bits = F.lit(0).cast("long")
     for p in range(n_planes):
-        coef = F.array(*[F.lit(_plane_coef(p, d)) for d in range(dim)])
+        coef = _lit_doubles(_plane_coef(p, d) for d in range(dim))
         proj = F.aggregate(F.zip_with(vec, coef, lambda x, c: x * c),
                            F.lit(0.0), lambda acc, v: acc + v)
         bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -159,8 +172,7 @@ def _nearest_centroids(vec: Column, cent, n_probe: int) -> Column:
     execution time; same literal-coefficient trick as the LSH planes)."""
     scored = F.array(*[
         F.struct(
-            F.aggregate(F.zip_with(vec,
-                                   F.array(*[F.lit(float(x)) for x in c]),
+            F.aggregate(F.zip_with(vec, _lit_doubles(c),
                                    lambda a, b: a * b),
                         F.lit(0.0), lambda acc, v: acc + v).alias("dot"),
             F.lit(i).alias("cid"))

@@ -291,15 +291,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             best = (edges.join(delta.withColumnRenamed("id", "src"), "src")
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.min("label").alias("cand")))
-            improved = (labels.join(best, "id")
-                        .filter(F.col("cand") < F.col("label"))
-                        .select("id", F.col("cand").alias("label")))
-            # pointer jump: my new label may itself already point lower
-            hop = labels.select(F.col("id").alias("label"),
+            # FUSED round update (r7): one left-join of the full label
+            # frame against the (small) candidate set carries the
+            # pointer-jump hop and a `changed` flag, so each round rolls
+            # ONE frame — delta is a filter over the rolled labels, not
+            # a second materialization. Same per-node rule as the
+            # two-frame form: nodes with cand < label take
+            # least(cand, label-of-cand) (F.least skips the NULL hop of
+            # an unlabeled candidate), everyone else keeps label.
+            hop = labels.select(F.col("id").alias("cand"),
                                 F.col("label").alias("ll"))
-            improved = (improved.join(hop, "label", "left")
-                        .select("id", F.least("label", "ll").alias("label")))
-            delta = sc.roll(improved, "delta")
+            better = F.col("cand") < F.col("label")
+            labels = sc.roll(
+                labels.join(best, "id", "left")
+                .join(hop, "cand", "left")
+                .select("id",
+                        F.when(better, F.least("cand", "ll"))
+                        .otherwise(F.col("label")).alias("label"),
+                        F.coalesce(better, F.lit(False)).alias("changed")),
+                "labels")
+            delta = labels.filter("changed").select("id", "label")
             if stats is not None:
                 stats["rounds"] += 1
                 n = delta.count()
@@ -308,9 +319,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                     break
             elif delta.isEmpty():
                 break
-            labels = sc.roll(
-                labels.join(delta, "id", "left_anti").unionByName(delta),
-                "labels")
         return (labels.select("id", F.col("label").alias("cluster_id"))
                 .localCheckpoint(eager=True))
     finally:
