@@ -96,8 +96,12 @@ FROM c
 def q_visited_antijoin(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
+    # r7: no .distinct() on the anti-join's build side — LEFT ANTI is
+    # set-semantic over the right side already (the hash relation dedups
+    # its keys), so the pre-distinct only added a full exchange of the
+    # filtered keys. Output identical (oracle-verified).
     visited = li.filter(F.col("l_quantity") < 10).select(
-        F.col("l_orderkey").alias("o_orderkey")).distinct()
+        F.col("l_orderkey").alias("o_orderkey"))
     return orders.select("o_orderkey").join(visited, "o_orderkey",
                                             "left_anti")
 
